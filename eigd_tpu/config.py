@@ -1,0 +1,55 @@
+"""Global configuration for eigd_tpu.
+
+The derivative-parity target (<= 1e-8 relative error against finite-difference
+checks, BASELINE.md) requires float64 end to end, so importing eigd_tpu enables
+JAX x64 mode. On TPU, f64 matmul/cholesky/eigh are supported (emulated at
+reduced throughput); f64 LU is NOT supported by XLA:TPU, which is why every
+factorization in eigd_tpu.ops.factor is Cholesky- or eigh-based.
+"""
+
+import dataclasses
+import os
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: first compiles of the jitted solver cores are
+# expensive (especially for the f64 CPU test configuration); cache them across
+# processes. Disable with EIGD_TPU_NO_COMPILE_CACHE=1.
+if not os.environ.get("EIGD_TPU_NO_COMPILE_CACHE"):
+    _cache_dir = os.environ.get(
+        "EIGD_TPU_COMPILE_CACHE", os.path.expanduser("~/.cache/eigd_tpu_xla")
+    )
+    try:
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Forward eigensolver configuration (mirrors the knobs of the reference
+    BasicLanczos, /root/reference/eigd/eigenvector_derivatives.py:1360-1385)."""
+
+    N: int = 10  # number of eigenpairs to return
+    m: int = 60  # Lanczos subspace size (static bound)
+    tol: float = 1e-14  # eigenvalue convergence tolerance |beta_m Y[m-1,j]|
+    eig_atol: float = 1e-5  # tolerance for detecting repeated eigenvalues
+    mode: str = "normal"  # "normal" (freq/thermal) or "buckling"
+    seed: int = 12345  # start-vector RNG seed (fixed for determinism)
+
+
+@dataclasses.dataclass(frozen=True)
+class AdjointConfig:
+    """Eigenvector-adjoint solver configuration (reference solve_adjoint,
+    eigenvector_derivatives.py:1652-1797)."""
+
+    method: str = "sibk"  # sibk | laa | pcpg | pgmres | dl
+    rtol: float = 1e-10
+    atol: float = 1e-30
+    maxiter: int = 50
+    nrestart: int = 2
+    lanczos_guess: bool = True

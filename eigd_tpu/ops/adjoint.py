@@ -1,0 +1,685 @@
+"""Eigenvector-adjoint solvers and total-derivative assembly.
+
+TPU-native rebuild of /root/reference/eigd/eigenvector_derivatives.py:
+``laa`` (:394-523), ``dl`` (:526-696), ``pcpg`` (:699-869), ``pgmres``
+(:872-1040), ``sibk`` (:1052-1328), ``generate_adjoint_correction`` (:303-391),
+``add_eig_total_derivative`` (:33-182) and ``eval_adjoint_residual_norm``
+(:185-275).
+
+Key re-designs (not translations):
+
+* **Branchless repeated-eigenvalue corrections.** The reference stores the
+  repeated-pair corrections in a Python dict ``{i: [(j, xi, eta)]}``. Here the
+  corrections are dense (N, N) matrices ``Xi``/``Eta`` built with masked
+  ``jnp.where`` (safe denominators), so the whole degenerate-eigenvector path
+  is jittable and the total-derivative contraction stays a batched GEMM.
+* **Block-everything.** All adjoint right-hand sides advance together: the
+  per-eigenvector loops of pcpg/sibk become (n, N) blocked linear algebra, so
+  every factor apply and projection is an MXU matmul over the full block —
+  the "block adjoint solves" TPU win called out in SURVEY.md §2.4.
+* **Static shapes.** Solvers run a fixed maximum iteration count with
+  converged columns frozen by masking; convergence is reported in an info
+  array instead of raising.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+
+from .operators import as_operator
+from .lanczos import LanczosResult, _tridiagonal
+
+
+# ---------------------------------------------------------------------------
+# Correction data for repeated / clustered eigenvalues
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class EigCorrection:
+    """Dense form of the reference's adjoint-correction dict.
+
+    ``Xi[j, i]`` / ``Eta[j, i]`` multiply ``Phi[:, j]`` in the corrected
+    direction for mode ``i``; both are symmetric and vanish except on
+    numerically repeated pairs (reference :370-383).
+    """
+
+    Xi: jax.Array  # (N, N)
+    Eta: jax.Array  # (N, N)
+
+    def tree_flatten(self):
+        return (self.Xi, self.Eta), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def no_correction(N, dtype):
+    z = jnp.zeros((N, N), dtype=dtype)
+    return EigCorrection(z, z)
+
+
+def are_eigenvalues_repeated(lam, atol=1e-5):
+    """True if any adjacent sorted eigenvalues are within atol (ref :284-300)."""
+    lam = jnp.asarray(lam)
+    return jnp.any(jnp.abs(jnp.diff(lam)) < atol)
+
+
+def generate_adjoint_correction(lam, Phi, psi, G=None, Phib=None,
+                                eig_atol=1e-5, mode="normal"):
+    """Correct the adjoint solution along the computed eigenvector directions.
+
+    Branchless rebuild of reference :303-391. For *distinct* pairs the
+    correction folds directly into psi; for numerically *repeated* pairs the
+    (xi, eta) coefficients are returned in an EigCorrection for use inside
+    ``add_eig_total_derivative``. Requires ``Phi^T B psi = 0`` on entry.
+
+    Returns (psi_corrected, EigCorrection).
+    """
+    lam = jnp.asarray(lam)
+    N = lam.shape[0]
+    if G is None:
+        G = -Phi.T @ Phib  # (N, N)
+
+    if mode == "normal":
+        G0 = G
+    elif mode == "buckling":
+        G0 = lam[:, None] * G  # diag(lam) @ G
+    else:
+        raise ValueError(f"Unknown mode {mode!r}")
+
+    # diff[j, i] = lam[j] - lam[i]
+    diff = lam[:, None] - lam[None, :]
+    eye = jnp.eye(N, dtype=bool)
+    close = (jnp.abs(diff) < eig_atol) & ~eye
+    safe = jnp.where(close | eye, 1.0, diff)
+
+    # Distinct pairs: psi[:, i] += G0[j, i] / (lam[j] - lam[i]) * Phi[:, j]
+    S = jnp.where(close | eye, 0.0, G0 / safe)
+    psi = psi + Phi @ S
+
+    # Repeated pairs (both formulas are symmetric in (i, j), ref :374-375):
+    # Xi[j, i]  = (G0[j, i] - G0[i, j]) / (2 (lam[j] - lam[i]))
+    # Eta[j, i] = (lam[i] G0[j, i] - lam[j] G0[i, j]) / (2 (lam[j] - lam[i]))
+    safe2 = jnp.where(close, diff, 1.0)
+    Xi = jnp.where(close, 0.5 * (G0 - G0.T) / safe2, 0.0)
+    Eta = jnp.where(close, 0.5 * (lam[None, :] * G0 - lam[:, None] * G0.T) / safe2,
+                    0.0)
+    return psi, EigCorrection(Xi=Xi, Eta=Eta)
+
+
+# Backwards-compatible alias used by the solver wrappers.
+apply_adjoint_correction = generate_adjoint_correction
+
+
+# ---------------------------------------------------------------------------
+# Total derivative assembly
+# ---------------------------------------------------------------------------
+
+
+def total_derivative_weights(lam, Phi, lamb, Phib, psi, adj_corr_data=None,
+                             mode="normal"):
+    """Compute the (n, N) weight blocks W_A, W_B of the total derivative.
+
+    The total derivative is  df/dx = dAdx(W_A, Phi) -/+ dBdx(W_B, Phi)
+    (minus for normal mode, plus for buckling), with the per-mode weight
+    vectors of reference :91-181 assembled as batched GEMMs:
+
+    normal:   W_A = Phi diag(lamb) + psi + Phi Xi
+              W_B = Phi diag(beta + lam*lamb) + psi diag(lam) + Phi Eta
+    buckling: W_A = Phi diag(lam^2 lamb) + psi diag(lam) + Phi Eta
+              W_B = Phi diag(lam*lamb - beta) + psi + Phi Xi
+    with beta_i = 0.5 * phi_i . Phib_i.
+
+    Note on the buckling lamb channel: with the constraint K phi + lam G phi
+    = 0 and phi^T K phi = 1, the exact eigenvalue derivative is
+    d(lam) = lam phi^T dK phi + lam^2 phi^T dG phi (verified against finite
+    differences), so lamb enters the weights scaled by lam. The phi-component
+    of the adjoint is c = lam*(lamb + psi^T G phi) and psi^T G phi = 0
+    because G phi = -(1/lam) K phi and the solvers keep psi K-orthogonal.
+    """
+    lam = jnp.asarray(lam)
+    N = lam.shape[0]
+    if adj_corr_data is None:
+        adj_corr_data = no_correction(N, Phi.dtype)
+    Xi, Eta = adj_corr_data.Xi, adj_corr_data.Eta
+    beta = 0.5 * jnp.sum(Phi * Phib, axis=0)
+
+    if mode == "normal":
+        W_A = Phi * lamb[None, :] + psi + Phi @ Xi
+        W_B = (Phi * (beta + lam * lamb)[None, :] + psi * lam[None, :]
+               + Phi @ Eta)
+    elif mode == "buckling":
+        W_A = (Phi * (lam * lamb)[None, :] + psi) * lam[None, :] + Phi @ Eta
+        W_B = Phi * (lam * lamb - beta)[None, :] + psi + Phi @ Xi
+    else:
+        raise ValueError(f"Unknown mode {mode!r}")
+    return W_A, W_B
+
+
+def add_eig_total_derivative(lam, Phi, lamb, Phib, psi, dAdx, dBdx, dfdx,
+                             adj_corr_data=None, mode="normal",
+                             deriv_type="tensor"):
+    """Accumulate the total derivative given the adjoint solution.
+
+    ``dAdx(W, V) = sum_i w_i^T (dA/dx) v_i`` over columns (the reference's
+    "tensor" path, :135-181; on TPU the batched path is always the right one,
+    so deriv_type="vector" computes the same contraction).
+    """
+    del deriv_type  # batched contraction always
+    W_A, W_B = total_derivative_weights(lam, Phi, lamb, Phib, psi,
+                                        adj_corr_data=adj_corr_data, mode=mode)
+    if mode == "normal":
+        if dAdx is not None:
+            dfdx = dfdx + dAdx(W_A, Phi)
+        if dBdx is not None:
+            dfdx = dfdx - dBdx(W_B, Phi)
+    else:
+        if dAdx is not None:
+            dfdx = dfdx + dAdx(W_A, Phi)
+        if dBdx is not None:
+            dfdx = dfdx + dBdx(W_B, Phi)
+    return dfdx
+
+
+# ---------------------------------------------------------------------------
+# Residual / orthogonality diagnostics
+# ---------------------------------------------------------------------------
+
+
+def eval_adjoint_residual_norm(A, B, lam, Phi, Phib, psi, mode="normal",
+                               b_ortho=False):
+    """Residual norms and orthogonality of the adjoint equations (ref :185-275).
+
+    res[i] = || A psi_i - lam_i B psi_i - b_i ||,
+    b_i    = -(Phib_i - B phi_i (phi_i . Phib_i)),
+    ortho[i] = |phi_i^T B psi_i|  (or max_j |(B phi_j)^T psi_i| if b_ortho).
+    """
+    A = as_operator(A)
+    B = as_operator(B)
+    lam = jnp.asarray(lam)
+    BPhi = B.mv(Phi)
+    proj_coef = jnp.sum(Phi * Phib, axis=0)
+    bmat = -(Phib - BPhi * proj_coef[None, :])
+
+    Apsi = A.mv(psi)
+    Bpsi = B.mv(psi)
+    if mode == "normal":
+        r = Apsi - Bpsi * lam[None, :] - bmat
+    elif mode == "buckling":
+        r = Bpsi + Apsi * lam[None, :] - bmat
+    else:
+        raise ValueError(f"Unknown mode {mode!r}")
+
+    if b_ortho:
+        r = r - BPhi @ (Phi.T @ r)
+        ortho = jnp.max(jnp.abs(BPhi.T @ psi), axis=0)
+    else:
+        ortho = jnp.abs(jnp.sum(BPhi * psi, axis=0))
+    res = jnp.sqrt(jnp.sum(r * r, axis=0))
+    return res, ortho
+
+
+# ---------------------------------------------------------------------------
+# LAA — Lanczos adjoint approximation (Galerkin in the Lanczos subspace)
+# ---------------------------------------------------------------------------
+
+
+def laa(Phib, B, factor, res: LanczosResult, D0=None, b_ortho=False,
+        mode="normal"):
+    """Galerkin solution of the adjoint equations in the Lanczos subspace.
+
+    Rebuild of reference :394-523, with the (m, N) divided-difference matrix D
+    formed branchlessly in sorted-Ritz coordinates:
+
+    D[i, j] = (Ys_i . Yb_j) / (theta_j - theta_i)  with masked entries, then
+    psi = -factor(B V (Ys (D * scale))),  scale = 1/(lam - sigma)  (normal)
+                                          scale = sigma/(lam - sigma) (buckling)
+    """
+    B = as_operator(B)
+    m = res.m
+    N = Phib.shape[1]
+    V = res.V[:m]  # (m, n) rows
+    Ys = res.Ys  # (m, m)
+    theta_s = res.theta_s  # (m,)
+    lam = res.lam[:N]
+    sigma = res.sigma
+
+    Yb = V @ Phib  # (m, N)
+    C = Ys.T @ Yb  # (m, N); C[i, j] = Ys[:, i] . Yb[:, j]
+
+    if D0 is not None:
+        D = D0
+    else:
+        denom = theta_s[None, :N] - theta_s[:, None]  # (m, N)
+        rows = jnp.arange(m)[:, None]
+        cols = jnp.arange(N)[None, :]
+        if b_ortho:
+            mask = rows >= N  # zero coefficient on every selected direction
+        else:
+            mask = rows != cols
+        safe = jnp.where(mask & (denom != 0.0), denom, 1.0)
+        D = jnp.where(mask & (denom != 0.0), C / safe, 0.0)
+
+    if mode == "normal":
+        scale = 1.0 / (lam - sigma)
+    elif mode == "buckling":
+        scale = sigma / (lam - sigma)
+    else:
+        raise ValueError(f"Unknown mode {mode!r}")
+
+    t = Ys @ (D * scale[None, :])  # (m, N)
+    psi = -factor.mv(B.mv(V.T @ t))
+    return psi
+
+
+# ---------------------------------------------------------------------------
+# Least-squares helper for shifted projected systems
+# ---------------------------------------------------------------------------
+
+
+def _lstsq_qr(Amat, b):
+    """min || A y - b || via reduced QR (f64-safe on TPU; no LU/SVD needed)."""
+    q, r = jnp.linalg.qr(Amat)
+    y = solve_triangular(r, q.T @ b, lower=False)
+    resid = Amat @ y - b
+    return y, jnp.sqrt(jnp.sum(resid * resid))
+
+
+def _solve_shifted_lstsq(alpha, H0, r):
+    """Solve min ||(I - alpha*H0) y - r|| with rectangular identity
+    (reference _solve_lstsq, :1043-1049)."""
+    M, K = H0.shape
+    I = jnp.eye(M, K, dtype=H0.dtype)
+    return _lstsq_qr(I - alpha * H0, r)
+
+
+# ---------------------------------------------------------------------------
+# SIBK — shift-invert block Krylov (the flagship adjoint solver)
+# ---------------------------------------------------------------------------
+
+
+def sibk(Phib, A, B, lam, Phi, mode="normal", psi=None, sigma=None,
+         factor=None, rtol=1e-10, atol=1e-30, eig_atol=1e-5, maxiter=50,
+         nrestart=2, bs_target=None, update_guess=None, callback=None):
+    """Shift-invert block Krylov adjoint solver.
+
+    TPU-native redesign of reference :1052-1328. The reference advances the N
+    adjoint systems in blocks of ``bs_target`` (default 1), growing one Krylov
+    ladder per block with data-dependent convergence loops. Here the block is
+    *always the full set of N right-hand sides*: one shared Krylov space is
+    grown for a fixed ``maxiter`` steps (every factor apply and projection is
+    a blocked GEMM), the N shifted projected systems
+    ``(I - alpha_i H) y_i = r_i`` with ``alpha_i = +/-(lam_i - sigma)`` are
+    solved by batched QR least-squares, and optional ``nrestart`` outer rounds
+    restart from the true residuals. This is equivalent to the reference's
+    ``update_guess=True`` mode taken to its batched limit.
+
+    Returns (psi, EigCorrection, info) where info[i] is the final residual of
+    adjoint system i (relative to max column norm of Phib).
+    """
+    del bs_target, update_guess, callback  # absorbed by the batched design
+    A = as_operator(A)
+    B = as_operator(B)
+    lam = jnp.asarray(lam)
+    n, N = Phib.shape
+    dtype = Phib.dtype
+
+    if psi is None:
+        psi = jnp.zeros_like(Phib)
+
+    BPhi = B.mv(Phi)
+    G = -Phi.T @ Phib
+    rnorm0 = jnp.sqrt(jnp.max(jnp.sum(Phib * Phib, axis=0)))
+    tol = jnp.maximum(rtol * rnorm0, atol)
+
+    if mode == "normal":
+        alphas = lam - sigma
+    elif mode == "buckling":
+        alphas = -(lam - sigma)
+    else:
+        raise ValueError(f"Unknown mode {mode!r}")
+
+    def proj(X):
+        return X - BPhi @ (Phi.T @ X)
+
+    def op_residual(psi_):
+        if mode == "normal":
+            Rm = -Phib - (A.mv(psi_) - B.mv(psi_) * lam[None, :])
+        else:
+            Rm = -Phib - (B.mv(psi_) + A.mv(psi_) * lam[None, :])
+        return proj(Rm)
+
+    K = maxiter  # ladder steps per round
+    col = jnp.arange(K + N)
+
+    def one_round(psi_):
+        R = op_residual(psi_)
+        # Seed the block: QR of the projected residuals (R is already in the
+        # projected subspace, so the Q columns stay there).
+        Wseed, r0 = jnp.linalg.qr(R)  # (n, N), (N, N)
+        W = jnp.zeros((K + N, n), dtype=dtype).at[:N].set(Wseed.T)
+        Z = jnp.zeros((K, n), dtype=dtype)
+        H = jnp.zeros((K + N, K), dtype=dtype)
+
+        def body(t, carry):
+            W, Z, H = carry
+            z = factor.mv(W[t])
+            if mode == "normal":
+                w = proj(B.mv(z))
+            else:
+                w = proj(A.mv(z))
+            mask = (col < t + N).astype(dtype)
+            h1 = (W @ w) * mask
+            w = w - W.T @ h1
+            h2 = (W @ w) * mask
+            w = w - W.T @ h2
+            w = proj(w)
+            h = h1 + h2
+            nw = jnp.sqrt(w @ w)
+            W = W.at[t + N].set(w / nw)
+            Z = Z.at[t].set(z)
+            H = H.at[:, t].set(h.at[t + N].set(nw))
+            return W, Z, H
+
+        W, Z, H = jax.lax.fori_loop(0, K, body, (W, Z, H))
+
+        rhs = jnp.zeros((K + N, N), dtype=dtype).at[:N].set(r0)
+
+        def solve_one(alpha_i, r_i):
+            return _solve_shifted_lstsq(alpha_i, H, r_i)
+
+        Ymat, resids = jax.vmap(solve_one, in_axes=(0, 1), out_axes=(1, 0))(
+            alphas, rhs)
+        psi_ = psi_ + Z.T @ Ymat
+        return psi_, resids
+
+    resids = jnp.full((N,), jnp.inf, dtype=dtype)
+    for _ in range(max(1, nrestart)):
+        psi, resids = one_round(psi)
+
+    psi, data = generate_adjoint_correction(lam, Phi, psi, G=G,
+                                            eig_atol=eig_atol, mode=mode)
+    info = resids / jnp.maximum(rnorm0, 1e-300)
+    return psi, data, info
+
+
+# ---------------------------------------------------------------------------
+# PCPG — preconditioned conjugate projected gradient (block form)
+# ---------------------------------------------------------------------------
+
+
+def pcpg(Phib, A, B, lam, Phi, mode="normal", psi=None, sigma=None,
+         factor=None, rtol=1e-10, atol=1e-30, eig_atol=1e-5, maxiter=100,
+         reset=25, callback=None):
+    """PCPG adjoint solver (Alvin, AIAA J. 1997), reference :699-869.
+
+    All N systems advance together as an (n, N) block with per-column scalar
+    coefficients; converged columns are frozen by masking.
+    """
+    del callback
+    A = as_operator(A)
+    B = as_operator(B)
+    lam = jnp.asarray(lam)
+    n, N = Phib.shape
+
+    if psi is None:
+        psi = jnp.zeros_like(Phib)
+
+    BPhi = B.mv(Phi)
+    rnorm0 = jnp.sqrt(jnp.max(jnp.sum(Phib * Phib, axis=0)))
+    tol = jnp.maximum(rtol * rnorm0, atol)
+
+    if mode == "normal":
+        R = -Phib - (A.mv(psi) - B.mv(psi) * lam[None, :])
+    elif mode == "buckling":
+        R = -Phib - (B.mv(psi) + A.mv(psi) * lam[None, :])
+    else:
+        raise ValueError(f"Unknown mode {mode!r}")
+    G = Phi.T @ R
+    R = R - BPhi @ G
+
+    def body(k, carry):
+        psi, R, P0, zTr_prev = carry
+        resn = jnp.sqrt(jnp.sum(R * R, axis=0))
+        active = resn > tol
+
+        Zp = R - BPhi @ (Phi.T @ R)
+        Z = factor.mv(Zp)
+        Z = Z - Phi @ (BPhi.T @ Z)
+
+        zTr = jnp.sum(Z * R, axis=0)
+        is_reset = (k % reset) == 0
+        beta = jnp.where(is_reset, 0.0,
+                         zTr / jnp.where(zTr_prev == 0.0, 1.0, zTr_prev))
+        P = Z + beta[None, :] * P0
+
+        tA = A.mv(P)
+        tB = B.mv(P)
+        if mode == "normal":
+            denom = jnp.sum(tA * P, axis=0) - lam * jnp.sum(tB * P, axis=0)
+        else:
+            denom = jnp.sum(tB * P, axis=0) + lam * jnp.sum(tA * P, axis=0)
+        step = jnp.where(active,
+                         zTr / jnp.where(denom == 0.0, 1.0, denom), 0.0)
+
+        psi = psi + step[None, :] * P
+        if mode == "normal":
+            R = R - step[None, :] * (tA - tB * lam[None, :])
+        else:
+            R = R - step[None, :] * (tB + tA * lam[None, :])
+        return psi, R, P, zTr
+
+    P0 = jnp.zeros_like(R)
+    zTr0 = jnp.ones((N,), dtype=R.dtype)
+    psi, R, _, _ = jax.lax.fori_loop(0, maxiter, body, (psi, R, P0, zTr0))
+
+    psi, data = generate_adjoint_correction(lam, Phi, psi, G=G,
+                                            eig_atol=eig_atol, mode=mode)
+    info = jnp.sqrt(jnp.sum(R * R, axis=0)) / jnp.maximum(rnorm0, 1e-300)
+    return psi, data, info
+
+
+# ---------------------------------------------------------------------------
+# PGMRES — projected right-preconditioned GMRES (vmapped over modes)
+# ---------------------------------------------------------------------------
+
+
+def pgmres(Phib, A, B, lam, Phi, mode="normal", psi=None, sigma=None,
+           factor=None, rtol=1e-10, atol=1e-30, eig_atol=1e-5, maxiter=50,
+           callback=None):
+    """Projected GMRES adjoint solver, reference :872-1040.
+
+    Each eigenvector has its own shifted operator, so the Arnoldi recurrences
+    are independent; they are batched with vmap (the factor and matvec then
+    run as batched GEMMs over the N systems).
+    """
+    del callback
+    A = as_operator(A)
+    B = as_operator(B)
+    lam = jnp.asarray(lam)
+    n, N = Phib.shape
+    dtype = Phib.dtype
+
+    if psi is None:
+        psi = jnp.zeros_like(Phib)
+
+    BPhi = B.mv(Phi)
+    rnorm0 = jnp.sqrt(jnp.max(jnp.sum(Phib * Phib, axis=0)))
+    tol = jnp.maximum(rtol * rnorm0, atol)
+
+    if mode == "normal":
+        R0 = -Phib - (A.mv(psi) - B.mv(psi) * lam[None, :])
+    elif mode == "buckling":
+        R0 = -Phib - (B.mv(psi) + A.mv(psi) * lam[None, :])
+    else:
+        raise ValueError(f"Unknown mode {mode!r}")
+    G = Phi.T @ R0
+    R0 = R0 - BPhi @ G
+
+    K = maxiter
+    col = jnp.arange(K + 1)
+
+    def solve_mode(r0, lam_i):
+        beta0 = jnp.sqrt(r0 @ r0)
+        W = jnp.zeros((K + 1, n), dtype=dtype)
+        W = W.at[0].set(jnp.where(beta0 > 0.0, r0 / jnp.where(beta0 == 0.0, 1.0, beta0), 0.0))
+        H = jnp.zeros((K + 1, K), dtype=dtype)
+        Z = jnp.zeros((K, n), dtype=dtype)
+
+        def body(j, carry):
+            W, H, Z = carry
+            zp = W[j] - BPhi @ (Phi.T @ W[j])
+            z = factor.mv(zp)
+            tA = A.mv(z)
+            tB = B.mv(z)
+            if mode == "normal":
+                w = tA - lam_i * tB
+            else:
+                w = tB + lam_i * tA
+            w = w - BPhi @ (Phi.T @ w)
+            mask = (col <= j).astype(dtype)
+            h1 = (W @ w) * mask
+            w = w - W.T @ h1
+            h2 = (W @ w) * mask
+            w = w - W.T @ h2
+            h = h1 + h2
+            nw = jnp.sqrt(w @ w)
+            W = W.at[j + 1].set(w / jnp.where(nw == 0.0, 1.0, nw))
+            H = H.at[:, j].set(h.at[j + 1].set(nw))
+            Z = Z.at[j].set(z)
+            return W, H, Z
+
+        W, H, Z = jax.lax.fori_loop(0, K, body, (W, H, Z))
+        rhs = jnp.zeros(K + 1, dtype=dtype).at[0].set(beta0)
+        y, res = _lstsq_qr(H, rhs)
+        dpsi = Z.T @ y
+        return dpsi, res
+
+    dpsi, res = jax.vmap(solve_mode, in_axes=(1, 0), out_axes=(1, 0))(R0, lam)
+    # Skip systems whose initial residual already met the tolerance.
+    beta0 = jnp.sqrt(jnp.sum(R0 * R0, axis=0))
+    use = (beta0 >= tol).astype(dtype)
+    psi = psi + dpsi * use[None, :]
+
+    psi, data = generate_adjoint_correction(lam, Phi, psi, G=G,
+                                            eig_atol=eig_atol, mode=mode)
+    info = res / jnp.maximum(rnorm0, 1e-300)
+    return psi, data, info
+
+
+# ---------------------------------------------------------------------------
+# DL — direct linearization (exact reverse-mode through the Lanczos recurrence)
+# ---------------------------------------------------------------------------
+
+
+def dl(Phib, B, factor, res: LanczosResult, mode="normal", eig_atol=1e-5):
+    """Exact reverse-mode differentiation through the three-term shift-invert
+    Lanczos recurrence (reference :526-696).
+
+    The reverse sweep reconstructs the forward intermediates from the stored
+    basis V and tridiagonal T, running two factor applies per step; the
+    per-step vector updates are expressed as masked rank-1 GEMMs so the sweep
+    is a single lax.fori_loop.
+
+    Returns (psi, EigCorrection).
+    """
+    B = as_operator(B)
+    m = res.m
+    N = Phib.shape[1]
+    n = Phib.shape[0]
+    dtype = Phib.dtype
+
+    V = res.V[:m].T  # (n, m) columns
+    T = _tridiagonal(res.alpha, res.beta)
+    Ys = res.Ys  # (m, m) sorted
+    theta_s = res.theta_s
+    lam = res.lam[:N]
+    Phi = res.Phi
+    sigma = res.sigma
+
+    repeated = bool(jax.device_get(are_eigenvalues_repeated(lam, atol=eig_atol)))
+
+    G = None
+    BPhi = None
+    if repeated:
+        BPhi = B.mv(Phi)
+        G = -Phi.T @ Phib
+        Rmod = Phib + BPhi @ G
+    else:
+        Rmod = Phib
+
+    Ysel = Ys[:, :N]  # (m, N)
+    Vb = Rmod @ Ysel.T  # (n, m)
+    Yb = V.T @ Rmod  # (m, N)
+
+    # Divided differences in sorted coordinates (reference D loop, :622-631):
+    # skip the diagonal and repeated selected pairs.
+    rows = jnp.arange(m)[:, None]
+    cols = jnp.arange(N)[None, :]
+    denom = theta_s[None, :N] - theta_s[:, None]
+    lam_pad = res.lam_all[res.order]  # (m,) sorted mapped eigenvalues
+    close_sel = (jnp.abs(lam_pad[:, None] - lam[None, :]) < eig_atol) & \
+        (rows < N)
+    mask = (rows != cols) & ~close_sel & (denom != 0.0)
+    C = Ys.T @ Yb  # (m, N)
+    Ds = jnp.where(mask, C / jnp.where(mask, denom, 1.0), 0.0)
+    Tb = Ys @ (Ds @ Ysel.T)  # (m, m)
+
+    # --- reverse sweep ---------------------------------------------------
+    colm = jnp.arange(m)
+
+    t_last = B.mv(factor.mv(B.mv(V[:, m - 1])))
+    Vb = Vb + jnp.outer(t_last, Tb[:, m - 1])
+    sb = B.mv(V @ Tb[:, m - 1])
+    u = factor.mv(sb)
+    Vb = Vb.at[:, m - 1].add(B.mv(u))
+
+    U = jnp.zeros((n, m), dtype=dtype)
+
+    def body(k, carry):
+        Vb, U, u = carry
+        i = m - 2 - k
+        # t = B @ V @ T[:, i] — T is tridiagonal so this equals the
+        # reference's three-column combination (:650-652).
+        t = B.mv(V @ T[:, i])
+        vb_ip1 = Vb[:, i + 1]
+        c0 = V[:, i + 1] @ vb_ip1 - T[i + 1, i] * Tb[i + 1, i]
+        sb = (vb_ip1 - c0 * B.mv(V[:, i + 1])) / T[i + 1, i]
+
+        # Vb[:, j] -= T[j, i] * sb for j <= i  (rows i-1 and i of column i of T)
+        mask_le = (colm <= i).astype(dtype)
+        Vb = Vb - jnp.outer(sb, T[:, i] * mask_le)
+
+        hb = (V.T @ sb - Tb[:, i]) * mask_le
+        Vb = Vb - jnp.outer(t, hb)
+        sb = sb - B.mv(V @ hb)
+
+        U = U.at[:, i + 1].set(u)
+        u = factor.mv(sb)
+        Vb = Vb.at[:, i].add(B.mv(u))
+        return Vb, U, u
+
+    Vb, U, u = jax.lax.fori_loop(0, m - 1, body, (Vb, U, u))
+    U = U.at[:, 0].set(u)
+
+    if mode == "normal":
+        psi = -U @ (Ysel / (lam - sigma)[None, :])
+    elif mode == "buckling":
+        psi = -U @ (sigma * Ysel / (lam - sigma)[None, :])
+    else:
+        raise ValueError(f"Unknown mode {mode!r}")
+
+    if repeated:
+        psi = psi - Phi @ (BPhi.T @ psi)
+        psi, data = generate_adjoint_correction(lam, Phi, psi, G=G,
+                                                eig_atol=eig_atol, mode=mode)
+    else:
+        data = no_correction(N, dtype)
+    return psi, data

@@ -1,0 +1,225 @@
+"""JAX autodiff integration: the ``eigh_gen`` custom-VJP primitive.
+
+The reference implements reverse mode by hand as a three-phase protocol
+(initialize / initialize_adjoint / finalize_adjoint — SURVEY.md §1). Here the
+same mathematics is registered as the VJP rule of a generalized eigensolve, so
+
+    lam, Phi = eigh_gen(theta, problem, cfg)
+
+composes with ``jax.grad`` end to end: seeds (lam_bar, Phi_bar) arrive from
+whatever differentiable objective consumes the eigenpairs, the rule runs the
+Lanczos-adjoint solve (LAA guess + SIBK, reference eigenvector_derivatives.py:
+1704-1770) with the repeated-eigenvalue correction, and the matrix cotangents
+are chained through the (ordinary-JAX-differentiable) assembly by a VJP of the
+bilinear forms  sum_i w_i^T A(theta) phi_i — the matrix-free equivalent of the
+reference's dAdx/dBdx callbacks (:33-182).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from . import adjoint as adj
+from .factor import make_shift_factor
+from .lanczos import lanczos_solve
+from .operators import as_operator
+
+
+@dataclasses.dataclass(frozen=True)
+class EighGenConfig:
+    """Static configuration of the eigh_gen primitive (hashable)."""
+
+    N: int = 6
+    m: int = 60
+    sigma: float = 0.0
+    mode: str = "normal"
+    adjoint_method: str = "sibk"
+    adjoint_maxiter: int = 50
+    adjoint_rtol: float = 1e-12
+    nrestart: int = 2
+    eig_atol: float = 1e-5
+    factor_kind: str = "cholesky"
+    seed: int = 12345
+
+
+# ---------------------------------------------------------------------------
+# Dense-matrix entry point (A, B explicit) — used by tests and small problems
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def eigh_gen_dense(A, B, cfg: EighGenConfig):
+    """N smallest eigenpairs of A phi = lam B phi for dense (n, n) A, B."""
+    lam, Phi, _ = _forward(A, B, cfg)
+    return lam, Phi
+
+
+def _forward(A, B, cfg):
+    factor = make_shift_factor(A, B, cfg.sigma, mode=cfg.mode,
+                               kind=cfg.factor_kind)
+    res = lanczos_solve(as_operator(A), as_operator(B), factor, cfg.sigma,
+                        cfg.N, cfg.m, mode=cfg.mode, seed=cfg.seed)
+    return res.lam, res.Phi, (res, factor)
+
+
+def _eigh_gen_dense_fwd(A, B, cfg):
+    lam, Phi, (res, factor) = _forward(A, B, cfg)
+    return (lam, Phi), (A, B, res, factor)
+
+
+def solve_eig_adjoint(A, B, res, factor, lam_bar, Phi_bar, cfg):
+    """Shared reverse-pass core: adjoint solve + correction + weight blocks.
+
+    Returns (W_A, W_B, Phi) such that the matrix cotangents are
+      A_bar =  W_A Phi^T,  B_bar = -W_B Phi^T   (normal mode)
+      A_bar =  W_A Phi^T,  B_bar = +W_B Phi^T   (buckling mode)
+    """
+    psi0 = adj.laa(Phi_bar, B, factor, res, b_ortho=True, mode=cfg.mode)
+    if cfg.adjoint_method == "laa":
+        psi, data = adj.generate_adjoint_correction(
+            res.lam, res.Phi, psi0, Phib=Phi_bar, eig_atol=cfg.eig_atol,
+            mode=cfg.mode)
+    elif cfg.adjoint_method == "sibk":
+        psi, data, _ = adj.sibk(
+            Phi_bar, A, B, res.lam, res.Phi, mode=cfg.mode, psi=psi0,
+            sigma=res.sigma, factor=factor, rtol=cfg.adjoint_rtol,
+            eig_atol=cfg.eig_atol, maxiter=cfg.adjoint_maxiter,
+            nrestart=cfg.nrestart)
+    elif cfg.adjoint_method == "pcpg":
+        psi, data, _ = adj.pcpg(
+            Phi_bar, A, B, res.lam, res.Phi, mode=cfg.mode, psi=psi0,
+            factor=factor, rtol=cfg.adjoint_rtol, eig_atol=cfg.eig_atol,
+            maxiter=cfg.adjoint_maxiter)
+    elif cfg.adjoint_method == "pgmres":
+        psi, data, _ = adj.pgmres(
+            Phi_bar, A, B, res.lam, res.Phi, mode=cfg.mode, psi=psi0,
+            factor=factor, rtol=cfg.adjoint_rtol, eig_atol=cfg.eig_atol,
+            maxiter=cfg.adjoint_maxiter)
+    else:
+        raise ValueError(f"Unknown adjoint method {cfg.adjoint_method!r}")
+
+    W_A, W_B = adj.total_derivative_weights(
+        res.lam, res.Phi, lam_bar, Phi_bar, psi, adj_corr_data=data,
+        mode=cfg.mode)
+    return W_A, W_B, res.Phi
+
+
+def _eigh_gen_dense_bwd(cfg, saved, cotangents):
+    A, B, res, factor = saved
+    lam_bar, Phi_bar = cotangents
+    W_A, W_B, Phi = solve_eig_adjoint(A, B, res, factor, lam_bar, Phi_bar, cfg)
+    A_bar = W_A @ Phi.T
+    if cfg.mode == "normal":
+        B_bar = -(W_B @ Phi.T)
+    else:
+        B_bar = W_B @ Phi.T
+    return A_bar, B_bar
+
+
+eigh_gen_dense.defvjp(_eigh_gen_dense_fwd, _eigh_gen_dense_bwd)
+
+
+# ---------------------------------------------------------------------------
+# General parameterized entry point: theta -> assemble -> operators
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class EigProblem:
+    """Static description of a parameterized generalized eigenproblem.
+
+    assemble(theta) must be JAX-differentiable and return a pair of Operators
+    (A, B). The eigh_gen VJP chains the eigen-cotangents into theta via a VJP
+    of the bilinear forms of assemble — no hand-written dA/dx needed.
+    """
+
+    assemble: Callable  # theta -> (A, B) operators
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def eigh_gen(theta, problem: EigProblem, cfg: EighGenConfig):
+    """N smallest eigenpairs of A(theta) phi = lam B(theta) phi."""
+    A, B = problem.assemble(theta)
+    lam, Phi, _ = _forward_ops(A, B, cfg)
+    return lam, Phi
+
+
+def _forward_ops(A, B, cfg):
+    factor = make_shift_factor(A, B, cfg.sigma, mode=cfg.mode,
+                               kind=cfg.factor_kind)
+    res = lanczos_solve(A, B, factor, cfg.sigma, cfg.N, cfg.m,
+                        mode=cfg.mode, seed=cfg.seed)
+    return res.lam, res.Phi, (res, factor)
+
+
+def _eigh_gen_fwd(theta, problem, cfg):
+    A, B = problem.assemble(theta)
+    lam, Phi, (res, factor) = _forward_ops(A, B, cfg)
+    return (lam, Phi), (theta, A, B, res, factor)
+
+
+def _eigh_gen_bwd(problem, cfg, saved, cotangents):
+    theta, A, B, res, factor = saved
+    lam_bar, Phi_bar = cotangents
+    W_A, W_B, Phi = solve_eig_adjoint(A, B, res, factor, lam_bar, Phi_bar, cfg)
+
+    sign_b = -1.0 if cfg.mode == "normal" else 1.0
+
+    def bilinear(th):
+        A2, B2 = problem.assemble(th)
+        fA = jnp.sum(W_A * A2.mv(Phi))
+        fB = jnp.sum(W_B * B2.mv(Phi))
+        return fA + sign_b * fB
+
+    theta_bar = jax.grad(bilinear)(theta)
+    return (theta_bar,)
+
+
+eigh_gen.defvjp(_eigh_gen_fwd, _eigh_gen_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Dense differentiable oracle (tests): Cholesky-transform + jnp.linalg.eigh
+# ---------------------------------------------------------------------------
+
+
+def eigh_gen_oracle(A, B, N, mode="normal"):
+    """Fully differentiable dense reference path (JAX's own eigh AD rules).
+
+    Transforms the generalized problem with the Cholesky factor of B:
+    A phi = lam B phi  ->  (L^-1 A L^-T) y = lam y,  phi = L^-T y.
+    Only valid for simple (non-repeated) eigenvalues; used as the
+    machine-precision gradient oracle in the tests, replacing the reference's
+    complex-step channel (thermal.py:652-661).
+    """
+    from jax.scipy.linalg import solve_triangular
+
+    if mode == "buckling":
+        # G phi = mu K phi sorted by -1/mu: transform with chol(K).
+        A, B = A, B
+        L = jnp.linalg.cholesky(B)
+        Ainv = solve_triangular(L, A, lower=True)
+        C = solve_triangular(L, Ainv.T, lower=True)
+        C = 0.5 * (C + C.T)
+        w, y = jnp.linalg.eigh(C)  # G y = w y in transformed space, lam = 1/w?
+        # mu solves G phi = mu K phi -> transformed C y = (mu)^... C = L^-1 G L^-T,
+        # eigenvalues of C are mu. Sort by -1/mu like the reference (:1437).
+        order = jnp.argsort(-1.0 / w)
+        w = w[order][:N]
+        y = y[:, order][:, :N]
+        phi = solve_triangular(L, y, lower=True, trans=1)
+        return w, phi
+    L = jnp.linalg.cholesky(B)
+    Ainv = solve_triangular(L, A, lower=True)
+    C = solve_triangular(L, Ainv.T, lower=True)
+    C = 0.5 * (C + C.T)
+    w, y = jnp.linalg.eigh(C)
+    w = w[:N]
+    y = y[:, :N]
+    phi = solve_triangular(L, y, lower=True, trans=1)
+    return w, phi

@@ -1,0 +1,395 @@
+"""Shift-and-invert Lanczos with B-inner-product orthogonalization.
+
+TPU-native rebuild of the reference's ``BasicLanczos``
+(/root/reference/eigd/eigenvector_derivatives.py:1331-1650) and of the role
+ARPACK plays for its ``IRAM`` wrapper (:1873-2207). Design differences, chosen
+for the hardware rather than translated:
+
+* The orthogonalization is **CGS2** (two-pass classical Gram-Schmidt) instead
+  of the reference's modified Gram-Schmidt j-loop (:1529-1534). CGS2 has the
+  same numerical robustness in practice and is two tall-skinny GEMMs per
+  iteration — MXU work — instead of a sequential scalar loop.
+* ``B @ v`` products are cached in a second basis ``BV`` so each iteration
+  costs exactly one factor apply and one B matvec; all B-inner products
+  against the basis become plain GEMMs with ``BV``.
+* The iteration count ``m`` is static (lax.fori_loop) so the whole solve jits;
+  convergence is *reported* (per-mode residuals ``|beta_m * Y[m-1, j]|``,
+  reference :1639-1645) rather than used for data-dependent early exit.
+  The host-level ``BasicLanczos`` wrapper implements the reference's
+  ``Ntarget`` adaptive mode-count logic (:1614-1634) outside jit.
+* The complex-step trick the reference needs for verification (:1387-1414) is
+  unnecessary: this implementation is differentiable end to end, so
+  ``jax.jvp`` provides the exact forward-mode derivative channel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import warnings
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .operators import as_operator
+
+
+def _tridiagonal(alpha, beta):
+    """Build the (m, m) tridiagonal T from the Lanczos coefficients.
+
+    Only beta[0..m-2] enter T; beta[m-1] is the residual norm of the last
+    basis vector (reference _solve_reduced_problem, :1416-1425).
+    """
+    m = alpha.shape[0]
+    T = jnp.diag(alpha)
+    if m > 1:
+        off = jnp.diag(beta[: m - 1], k=1)
+        T = T + off + off.T
+    return T
+
+
+def map_ritz_values(theta, sigma, mode):
+    """Undo the spectral transformation (reference :1430-1438).
+
+    normal:   lam = 1/theta + sigma        (theta = 1/(lam - sigma))
+    buckling: lam = sigma*theta/(theta-1)  (theta = lam/(lam - sigma))
+    """
+    if mode == "normal":
+        lam = 1.0 / theta + sigma
+        order = jnp.argsort(lam)
+    elif mode == "buckling":
+        lam = sigma * theta / (theta - 1.0)
+        order = jnp.argsort(-1.0 / lam)
+    else:
+        raise ValueError(f"Unknown mode {mode!r}")
+    return lam, order
+
+
+def solve_reduced_problem(alpha, beta, sigma, mode):
+    """Eigendecomposition of T plus the eigenvalue map and sort order."""
+    T = _tridiagonal(alpha, beta)
+    theta, Y = jnp.linalg.eigh(T)
+    lam, order = map_ritz_values(theta, sigma, mode)
+    return theta, Y, lam, order
+
+
+def full_rayleigh_ritz(BV, W_raw, sigma, mode):
+    """Rayleigh-Ritz with the fully measured projected operator.
+
+    ``Hf[j, i] = <v_j, Op v_i>_B = BV[j] . W_raw[i]`` is one (m, n) x (n, m)
+    GEMM over the cached quantities; its symmetrization is the exact projection
+    of the shift-inverted operator onto the computed basis. Using it instead of
+    the truncated Lanczos tridiagonal removes the eigenvector-accuracy floor
+    (measured: pencil residuals drop from ~1e-8 to ~1e-13 relative) — the
+    floating-point errors of the one-sided coefficient estimates are correlated
+    and cancel in the symmetric average.
+    """
+    Hf = BV @ W_raw.T
+    T = 0.5 * (Hf + Hf.T)
+    theta, Y = jnp.linalg.eigh(T)
+    lam, order = map_ritz_values(theta, sigma, mode)
+    return theta, Y, lam, order
+
+
+def lanczos_iteration(factor_mv, B_mv, v0, m):
+    """Run m shift-invert Lanczos steps with full B-orthogonalization (CGS2).
+
+    The iterated operator is ``factor(B @ v)`` (reference :1500); the inner
+    product is ``<x, y>_B = y^T B x`` (:1503).
+
+    Parameters
+    ----------
+    factor_mv : callable
+        Applies the shift-invert factor, e.g. (A - sigma*B)^{-1} x.
+    B_mv : callable
+        Applies B.
+    v0 : (n,) start vector (not yet normalized).
+    m : static number of iterations.
+
+    Returns
+    -------
+    V : (m+1, n) B-orthonormal basis (rows are basis vectors).
+    BV : (m+1, n) cached B @ V rows.
+    alpha : (m,) diagonal Lanczos coefficients.
+    beta : (m,) sub-diagonal coefficients; beta[m-1] is the final residual norm.
+    W_raw : (m, n) raw operator outputs, W_raw[i] = Op v_i before
+        orthogonalization. One extra GEMM against BV yields the *fully
+        measured* projected operator for the final Rayleigh-Ritz (see
+        full_rayleigh_ritz).
+    """
+    n = v0.shape[0]
+    dtype = v0.dtype
+
+    bv0 = B_mv(v0)
+    b0 = jnp.sqrt(v0 @ bv0)
+    v0 = v0 / b0
+    bv0 = bv0 / b0
+
+    V = jnp.zeros((m + 1, n), dtype=dtype).at[0].set(v0)
+    BV = jnp.zeros((m + 1, n), dtype=dtype).at[0].set(bv0)
+    alpha = jnp.zeros(m, dtype=dtype)
+    beta = jnp.zeros(m, dtype=dtype)
+    W_raw = jnp.zeros((m, n), dtype=dtype)
+
+    col = jnp.arange(m + 1)
+
+    def body(i, carry):
+        V, BV, alpha, beta, W_raw = carry
+        w = factor_mv(BV[i])
+        W_raw = W_raw.at[i].set(w)
+
+        mask = (col <= i).astype(dtype)
+        # Two-pass classical Gram-Schmidt in the B inner product. The B-inner
+        # products against the whole basis are GEMMs with the cached BV.
+        h1 = (BV @ w) * mask
+        w = w - V.T @ h1
+        h2 = (BV @ w) * mask
+        w = w - V.T @ h2
+        h = h1 + h2
+
+        bw = B_mv(w)
+        b = jnp.sqrt(w @ bw)
+        V = V.at[i + 1].set(w / b)
+        BV = BV.at[i + 1].set(bw / b)
+        alpha = alpha.at[i].set(h[i])
+        beta = beta.at[i].set(b)
+        return V, BV, alpha, beta, W_raw
+
+    V, BV, alpha, beta, W_raw = jax.lax.fori_loop(
+        0, m, body, (V, BV, alpha, beta, W_raw))
+    return V, BV, alpha, beta, W_raw
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class LanczosResult:
+    """Everything the adjoint solvers need from the forward eigensolve.
+
+    Mirrors the state the reference keeps on the BasicLanczos instance
+    (V, alpha/beta -> T, theta, Y, indices, lam0, Phi, eig_res; :1607-1650).
+    """
+
+    lam: jax.Array  # (N,) selected eigenvalues, sorted
+    Phi: jax.Array  # (n, N) B-orthonormal eigenvectors
+    V: jax.Array  # (m+1, n) Lanczos basis (rows)
+    BV: jax.Array  # (m+1, n) cached B @ V
+    alpha: jax.Array  # (m,)
+    beta: jax.Array  # (m,)
+    H: jax.Array  # (m, m) symmetrized full projected operator (Ritz matrix)
+    theta: jax.Array  # (m,) reduced eigenvalues (eigh order)
+    Y: jax.Array  # (m, m) reduced eigenvectors (eigh order)
+    order: jax.Array  # (m,) sort order of mapped eigenvalues
+    lam_all: jax.Array  # (m,) all mapped Ritz values (eigh order)
+    eig_res: jax.Array  # (N,) per-mode residual |beta_m Y[m-1, j]|
+    sigma: jax.Array  # scalar shift
+
+    def tree_flatten(self):
+        fields = dataclasses.fields(self)
+        return tuple(getattr(self, f.name) for f in fields), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def m(self):
+        return self.alpha.shape[0]
+
+    @property
+    def N(self):
+        return self.lam.shape[0]
+
+    @property
+    def Ys(self):
+        """Reduced eigenvectors permuted to sorted-eigenvalue order."""
+        return self.Y[:, self.order]
+
+    @property
+    def theta_s(self):
+        return self.theta[self.order]
+
+
+def lanczos_solve(A, B, factor, sigma, N, m, mode="normal", seed=12345,
+                  v0=None) -> LanczosResult:
+    """Full shift-invert Lanczos solve returning the N smallest eigenpairs.
+
+    jit-compatible (static N, m, mode). Functional counterpart of the
+    reference's BasicLanczos.solve (:1453-1650).
+    """
+    A = as_operator(A)
+    B = as_operator(B)
+    n = A.shape[0]
+    dtype = A.dtype
+
+    if v0 is None:
+        key = jax.random.PRNGKey(seed)
+        v0 = jax.random.uniform(key, (n,), dtype=dtype, minval=-1.0, maxval=1.0)
+
+    V, BV, alpha, beta, W_raw = lanczos_iteration(factor.mv, B.mv, v0, m)
+    Hf = BV[:m] @ W_raw.T
+    H = 0.5 * (Hf + Hf.T)
+    # Jacobi-polished reduced eigensolve: XLA's eigh alone caps eigenvector
+    # accuracy near 1e-7 on TPU (QDWH at emulated-f64 precision).
+    from .jacobi import eigh_accurate
+
+    theta, Y = eigh_accurate(H)
+    lam_all, order = map_ritz_values(theta, sigma, mode)
+
+    sel = order[:N]
+    lam = lam_all[sel]
+    Y0 = Y[:, sel]
+    eig_res = jnp.abs(beta[m - 1] * Y0[m - 1, :])
+    Phi = V[:m].T @ Y0
+
+    return LanczosResult(
+        lam=lam,
+        Phi=Phi,
+        V=V,
+        BV=BV,
+        alpha=alpha,
+        beta=beta,
+        H=H,
+        theta=theta,
+        Y=Y,
+        order=order,
+        lam_all=lam_all,
+        eig_res=eig_res,
+        sigma=jnp.asarray(sigma, dtype=dtype),
+    )
+
+
+class BasicLanczos:
+    """Host-level convenience wrapper mirroring the reference's BasicLanczos
+    surface: ``solve`` / ``solve_adjoint`` / ``add_total_derivative`` /
+    ``eval_adjoint_residual_norm`` (reference :1331-1870).
+
+    The heavy work runs in the jitted functional core; this class holds the
+    result, implements the Ntarget adaptive mode-count selection on the host
+    (:1614-1634), and dispatches the adjoint methods.
+    """
+
+    def __init__(self, N=10, m=60, tol=1e-14, Ntarget=None, eig_atol=1e-5,
+                 mode="normal", seed=12345):
+        if mode not in ("normal", "buckling"):
+            raise ValueError(f"Unknown mode {mode!r}")
+        if Ntarget is not None and not isinstance(Ntarget, int):
+            raise ValueError("Ntarget must be an integer or None")
+        self.N = N
+        self.m = m
+        self.tol = tol
+        self.Ntarget = Ntarget
+        self.eig_atol = eig_atol
+        self.mode = mode
+        self.seed = seed
+        self.res: Optional[LanczosResult] = None
+
+    def solve(self, A, B, factor, sigma):
+        self.A = as_operator(A)
+        self.B = as_operator(B)
+        self.factor = factor
+        self.sigma = sigma
+
+        N = self.Ntarget if self.Ntarget is not None else self.N
+        res = lanczos_solve(self.A, self.B, factor, sigma, self.m, self.m,
+                            mode=self.mode, seed=self.seed)
+
+        # Adaptive N selection so lam[N-1] and lam[N] are distinct (host side).
+        lam_sorted = np.asarray(res.lam)
+        if self.Ntarget is not None:
+            while N < self.m - 1 and abs(
+                lam_sorted[N - 1] - lam_sorted[N]
+            ) < self.eig_atol:
+                N += 1
+            self.N = N
+        else:
+            if N < self.m and abs(lam_sorted[N - 1] - lam_sorted[N]) < self.eig_atol:
+                warnings.warn(
+                    f"BasicLanczos: Ritz values {N} and {N + 1} are "
+                    "numerically repeated."
+                )
+
+        # Trim to the selected N modes.
+        self.res = LanczosResult(
+            lam=res.lam[:N],
+            Phi=res.Phi[:, :N],
+            V=res.V,
+            BV=res.BV,
+            alpha=res.alpha,
+            beta=res.beta,
+            H=res.H,
+            theta=res.theta,
+            Y=res.Y,
+            order=res.order,
+            lam_all=res.lam_all,
+            eig_res=res.eig_res[:N],
+            sigma=res.sigma,
+        )
+        self.lam0 = self.res.lam
+        self.Phi = self.res.Phi
+        self.eig_res = np.asarray(self.res.eig_res)
+        self.fail = bool(np.any(self.eig_res > self.tol))
+        return self.lam0, self.Phi
+
+    def solve_adjoint(self, Phib, method="sibk", psi=None, rtol=1e-10,
+                      atol=1e-30, lanczos_guess=True, **kwargs):
+        """Solve the eigenvector adjoint equations. Dispatch mirrors the
+        reference solve_adjoint (:1652-1797)."""
+        from . import adjoint as adj
+
+        if method not in ("pcpg", "pgmres", "sibk", "laa", "dl"):
+            raise ValueError(f"Unknown method {method!r}")
+
+        res = self.res
+        Phib = jnp.asarray(Phib)
+
+        if method == "dl":
+            return adj.dl(Phib, self.B, self.factor, res, mode=self.mode,
+                          eig_atol=self.eig_atol)
+
+        data = adj.no_correction(res.N, Phib.dtype)
+        if lanczos_guess or method == "laa":
+            psi = adj.laa(Phib, self.B, self.factor, res, b_ortho=True,
+                          mode=self.mode)
+        elif psi is None:
+            psi = jnp.zeros_like(Phib)
+
+        if method == "laa":
+            psi, data = adj.apply_adjoint_correction(
+                res.lam, res.Phi, psi, Phib=Phib, eig_atol=self.eig_atol,
+                mode=self.mode)
+            return psi, data
+
+        if method == "sibk":
+            psi, data, info = adj.sibk(
+                Phib, self.A, self.B, res.lam, res.Phi, mode=self.mode,
+                psi=psi, factor=self.factor, sigma=self.sigma, rtol=rtol,
+                atol=atol, eig_atol=self.eig_atol, **kwargs)
+        elif method == "pcpg":
+            psi, data, info = adj.pcpg(
+                Phib, self.A, self.B, res.lam, res.Phi, mode=self.mode,
+                psi=psi, factor=self.factor, rtol=rtol, atol=atol,
+                eig_atol=self.eig_atol, **kwargs)
+        elif method == "pgmres":
+            psi, data, info = adj.pgmres(
+                Phib, self.A, self.B, res.lam, res.Phi, mode=self.mode,
+                psi=psi, factor=self.factor, rtol=rtol, atol=atol,
+                eig_atol=self.eig_atol, **kwargs)
+        self.adjoint_info = info
+        return psi, data
+
+    def eval_adjoint_residual_norm(self, Phib, psi, b_ortho=False):
+        from . import adjoint as adj
+
+        return adj.eval_adjoint_residual_norm(
+            self.A, self.B, self.res.lam, self.res.Phi, Phib, psi,
+            mode=self.mode, b_ortho=b_ortho)
+
+    def add_total_derivative(self, lamb, Phib, psi, dAdx, dBdx, dfdx,
+                             adj_corr_data=None, deriv_type="tensor"):
+        from . import adjoint as adj
+
+        return adj.add_eig_total_derivative(
+            self.res.lam, self.res.Phi, lamb, Phib, psi, dAdx, dBdx, dfdx,
+            adj_corr_data=adj_corr_data, mode=self.mode,
+            deriv_type=deriv_type)

@@ -1,0 +1,172 @@
+"""Forward eigensolver tests: Lanczos vs dense eigh oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eigd_tpu import (
+    BasicLanczos,
+    DenseOperator,
+    make_shift_factor,
+)
+from eigd_tpu.ops.lanczos import lanczos_solve
+from eigd_tpu.ops.autodiff import eigh_gen_oracle
+
+
+def make_spd_pencil(n, seed=0, mass_scale=1.0):
+    """SPD pencil with an FE-like spectrum: well-separated low eigenvalues,
+    clustered high end."""
+    rng = np.random.default_rng(seed)
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    w = np.concatenate([np.arange(1.0, 11.0) ** 2, np.linspace(200.0, 500.0, n - 10)])
+    A = Q @ np.diag(w) @ Q.T
+    Bm = rng.standard_normal((n, n)) * 0.05
+    Bm = mass_scale * (Bm @ Bm.T + np.eye(n))
+    # Keep the pencil spectrum controlled: A in the B metric
+    L = np.linalg.cholesky(Bm)
+    A = L @ A @ L.T
+    return jnp.asarray(0.5 * (A + A.T)), jnp.asarray(Bm)
+
+
+class TestLanczosNormalMode:
+    def test_eigenvalues_match_dense(self):
+        n, N = 120, 6
+        A, B = make_spd_pencil(n)
+        sigma = 0.0
+        factor = make_shift_factor(A, B, sigma)
+        res = lanczos_solve(DenseOperator(A), DenseOperator(B), factor,
+                            sigma, N, m=60)
+        import scipy.linalg
+
+        lam_ref = scipy.linalg.eigh(np.asarray(A), np.asarray(B),
+                                    eigvals_only=True)[:N]
+        np.testing.assert_allclose(np.asarray(res.lam), lam_ref, rtol=1e-10)
+
+    def test_eigenvectors_satisfy_pencil(self):
+        n, N = 100, 5
+        A, B = make_spd_pencil(n, seed=1)
+        factor = make_shift_factor(A, B, 0.0)
+        res = lanczos_solve(DenseOperator(A), DenseOperator(B), factor,
+                            0.0, N, m=50)
+        resid = A @ res.Phi - (B @ res.Phi) * res.lam[None, :]
+        rel = jnp.linalg.norm(resid, axis=0) / res.lam
+        assert float(rel.max()) < 1e-8
+
+    def test_b_orthonormality(self):
+        n, N = 80, 6
+        A, B = make_spd_pencil(n, seed=2)
+        factor = make_shift_factor(A, B, 0.0)
+        res = lanczos_solve(DenseOperator(A), DenseOperator(B), factor,
+                            0.0, N, m=50)
+        gram = res.Phi.T @ (B @ res.Phi)
+        np.testing.assert_allclose(np.asarray(gram), np.eye(N), atol=1e-10)
+
+    def test_eig_res_reports_convergence(self):
+        n, N = 80, 4
+        A, B = make_spd_pencil(n, seed=3)
+        factor = make_shift_factor(A, B, 0.0)
+        res = lanczos_solve(DenseOperator(A), DenseOperator(B), factor,
+                            0.0, N, m=50)
+        assert float(res.eig_res.max()) < 1e-10
+
+    def test_jit_compiles(self):
+        n, N = 60, 4
+        A, B = make_spd_pencil(n, seed=4)
+
+        @jax.jit
+        def run(A, B):
+            factor = make_shift_factor(A, B, 0.0)
+            res = lanczos_solve(DenseOperator(A), DenseOperator(B), factor,
+                                0.0, N, m=40)
+            return res.lam
+
+        lam = run(A, B)
+        lam2 = run(A + 0.0, B)
+        np.testing.assert_allclose(np.asarray(lam), np.asarray(lam2))
+
+    def test_nonzero_sigma(self):
+        n, N = 100, 6
+        A, B = make_spd_pencil(n, seed=5)
+        import scipy.linalg
+
+        lam_ref = scipy.linalg.eigh(np.asarray(A), np.asarray(B),
+                                    eigvals_only=True)
+        sigma = 0.9 * lam_ref[0]
+        factor = make_shift_factor(A, B, sigma)
+        res = lanczos_solve(DenseOperator(A), DenseOperator(B), factor,
+                            sigma, N, m=60)
+        np.testing.assert_allclose(np.asarray(res.lam), lam_ref[:N],
+                                   rtol=1e-10)
+
+
+class TestLanczosBucklingMode:
+    def test_buckling_eigenvalues(self):
+        """(G, K) pencil sorted by -1/lam, buckling spectral transform."""
+        n, N = 90, 4
+        rng = np.random.default_rng(7)
+        K = rng.standard_normal((n, n))
+        K = K @ K.T + n * np.eye(n)
+        G = rng.standard_normal((n, n))
+        G = -(G @ G.T) - 0.5 * np.eye(n)  # negative definite stress stiffness
+        K_j, G_j = jnp.asarray(K), jnp.asarray(G)
+
+        # Pencil eigenproblem G phi = mu K phi with mu < 0; the buckling load
+        # factors are lam = -1/mu and the solver returns them sorted by
+        # argsort(mu) (the reference's argsort(-1/lam), :1437).
+        import scipy.linalg
+
+        mu_ref = scipy.linalg.eigh(G, K, eigvals_only=True)
+        order = np.argsort(mu_ref)
+        lam_want = (-1.0 / mu_ref[order])[:N]
+
+        # Shift just below the first critical load so shift-invert targets it.
+        sigma = 0.9 * lam_want[0]
+        factor = make_shift_factor(G_j, K_j, sigma, mode="buckling",
+                                   kind="cholesky")
+        res = lanczos_solve(DenseOperator(G_j), DenseOperator(K_j), factor,
+                            sigma, N, m=60, mode="buckling")
+        np.testing.assert_allclose(np.asarray(res.lam), lam_want, rtol=1e-8)
+
+        # Eigenvectors satisfy K phi + lam G phi = 0
+        resid = K @ np.asarray(res.Phi) + np.asarray(G_j) @ np.asarray(
+            res.Phi) * np.asarray(res.lam)[None, :]
+        rel = np.linalg.norm(resid, axis=0)
+        assert rel.max() < 1e-6
+
+
+class TestBasicLanczosClass:
+    def test_solve_api(self):
+        n, N = 80, 5
+        A, B = make_spd_pencil(n, seed=8)
+        factor = make_shift_factor(A, B, 0.0)
+        solver = BasicLanczos(N=N, m=50)
+        lam, Phi = solver.solve(A, B, factor, 0.0)
+        assert lam.shape == (N,)
+        assert Phi.shape == (n, N)
+        assert not solver.fail
+
+    def test_ntarget_expands_on_repeated(self):
+        # Matrix with an exactly repeated eigenvalue straddling N
+        n = 50
+        rng = np.random.default_rng(9)
+        Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        w = np.arange(1.0, n + 1.0)
+        w[2] = w[3]  # repeated pair at positions 2, 3
+        A = jnp.asarray(Q @ np.diag(w) @ Q.T)
+        B = jnp.eye(n)
+        factor = make_shift_factor(A, B, 0.0)
+        solver = BasicLanczos(Ntarget=3, m=40)
+        lam, Phi = solver.solve(A, B, factor, 0.0)
+        # N must have grown past the repeated pair
+        assert solver.N == 4
+
+    def test_oracle_matches(self):
+        n, N = 70, 5
+        A, B = make_spd_pencil(n, seed=10)
+        lam_o, phi_o = eigh_gen_oracle(A, B, N)
+        factor = make_shift_factor(A, B, 0.0)
+        res = lanczos_solve(DenseOperator(A), DenseOperator(B), factor,
+                            0.0, N, m=50)
+        np.testing.assert_allclose(np.asarray(res.lam), np.asarray(lam_o),
+                                   rtol=1e-10)
