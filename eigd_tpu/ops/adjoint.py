@@ -404,6 +404,11 @@ def sibk(Phib, A, B, lam, Phi, mode="normal", psi=None, sigma=None,
     for _ in range(max(1, nrestart)):
         psi, resids = one_round(psi)
 
+    # Enforce the orthogonality constraint Phi^T B psi = 0 explicitly before
+    # the eigendirection fold-in: the Krylov update can leak tiny in-span
+    # ghost components that the nearly-singular shifted solves amplify, and
+    # the correction supplies the exact in-span values anyway.
+    psi = psi - Phi @ (BPhi.T @ psi)
     psi, data = generate_adjoint_correction(lam, Phi, psi, G=G,
                                             eig_atol=eig_atol, mode=mode)
     info = resids / jnp.maximum(rnorm0, 1e-300)
@@ -480,6 +485,7 @@ def pcpg(Phib, A, B, lam, Phi, mode="normal", psi=None, sigma=None,
     zTr0 = jnp.ones((N,), dtype=R.dtype)
     psi, R, _, _ = jax.lax.fori_loop(0, maxiter, body, (psi, R, P0, zTr0))
 
+    psi = psi - Phi @ (BPhi.T @ psi)
     psi, data = generate_adjoint_correction(lam, Phi, psi, G=G,
                                             eig_atol=eig_atol, mode=mode)
     info = jnp.sqrt(jnp.sum(R * R, axis=0)) / jnp.maximum(rnorm0, 1e-300)
@@ -568,6 +574,7 @@ def pgmres(Phib, A, B, lam, Phi, mode="normal", psi=None, sigma=None,
     use = (beta0 >= tol).astype(dtype)
     psi = psi + dpsi * use[None, :]
 
+    psi = psi - Phi @ (BPhi.T @ psi)
     psi, data = generate_adjoint_correction(lam, Phi, psi, G=G,
                                             eig_atol=eig_atol, mode=mode)
     info = res / jnp.maximum(rnorm0, 1e-300)
