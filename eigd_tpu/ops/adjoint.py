@@ -104,13 +104,28 @@ def generate_adjoint_correction(lam, Phi, psi, G=None, Phib=None,
     S = jnp.where(close | eye, 0.0, G0 / safe)
     psi = psi + Phi @ S
 
-    # Repeated pairs (both formulas are symmetric in (i, j), ref :374-375):
-    # Xi[j, i]  = (G0[j, i] - G0[i, j]) / (2 (lam[j] - lam[i]))
-    # Eta[j, i] = (lam[i] G0[j, i] - lam[j] G0[i, j]) / (2 (lam[j] - lam[i]))
-    safe2 = jnp.where(close, diff, 1.0)
-    Xi = jnp.where(close, 0.5 * (G0 - G0.T) / safe2, 0.0)
-    Eta = jnp.where(close, 0.5 * (lam[None, :] * G0 - lam[:, None] * G0.T) / safe2,
-                    0.0)
+    # Repeated pairs. The reference's formulas (:374-375)
+    #   Xi[j, i]  = (G0[j, i] - G0[i, j]) / (2 (lam[j] - lam[i]))
+    #   Eta[j, i] = (lam[i] G0[j, i] - lam[j] G0[i, j]) / (2 (lam[j] - lam[i]))
+    # are rewritten in the algebraically equivalent but numerically stable
+    # separated form
+    #   R[j, i]   = (G0[j, i] - G0[i, j]) / (lam[j] - lam[i])
+    #   Xi[j, i]  = R[j, i] / 2
+    #   Eta[j, i] = lam[i] * R[j, i] / 2 - G0[i, j] / 2.
+    # Only R contains the 0/0 limit: for an objective with underlying
+    # differentiability its numerator vanishes proportionally to the gap,
+    # and numerically it bottoms out at rounding noise while the computed
+    # gap of a truly repeated pair is O(eps*|lam|). Gaps below the
+    # eigenvalue resolution are indistinguishable from zero, so R's divided
+    # difference is floored at that scale; the regular -G0^T/2 part of Eta —
+    # which is what survives at exact degeneracy — is untouched.
+    anti = G0 - G0.T
+    floor = 1e-9 * (jnp.abs(lam)[:, None] + jnp.abs(lam)[None, :]) + 1e-30
+    mag = jnp.maximum(jnp.abs(diff), floor)
+    signed = jnp.where(diff >= 0.0, mag, -mag)
+    R = jnp.where(close, anti / signed, 0.0)
+    Xi = 0.5 * R
+    Eta = jnp.where(close, 0.5 * lam[None, :] * R - 0.5 * G0.T, 0.0)
     return psi, EigCorrection(Xi=Xi, Eta=Eta)
 
 

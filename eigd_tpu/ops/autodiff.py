@@ -183,6 +183,48 @@ def _eigh_gen_bwd(problem, cfg, saved, cotangents):
 eigh_gen.defvjp(_eigh_gen_fwd, _eigh_gen_bwd)
 
 
+def eigh_gen_directional_oracle(A, B, dA, dB, N, eig_atol=1e-5):
+    """Directional-derivative oracle with the reference's complex-step
+    semantics: divided differences between numerically repeated eigenvalues
+    are suppressed (reference BasicLanczos._eigh, eigenvector_derivatives.py:
+    1403-1408 zeroes D[i, j] for equal eigenvalues), which is the correct
+    infinitesimal derivative for objectives with underlying differentiability.
+
+    Returns (lam, Phi, dlam, dPhi) for the N smallest modes.
+    """
+    import scipy.linalg
+
+    import numpy as np
+
+    A = np.asarray(A)
+    B = np.asarray(B)
+    lam, Phi = scipy.linalg.eigh(A, B)
+    dA = np.asarray(dA)
+    dB = np.asarray(dB)
+
+    n = A.shape[0]
+    dlam = np.zeros(N)
+    dPhi = np.zeros((n, N))
+    for i in range(N):
+        Wi = (dA - lam[i] * dB) @ Phi[:, i]
+        dBi = dB @ Phi[:, i]
+        dlam[i] = Phi[:, i] @ Wi
+        for j in range(n):
+            if j == i:
+                continue
+            if abs(lam[j] - lam[i]) > eig_atol:
+                dPhi[:, i] += Phi[:, j] * (Phi[:, j] @ Wi) / (lam[i] - lam[j])
+            else:
+                # Degenerate pair: the antisymmetric (rotation) part of the
+                # coupling is suppressed, but the symmetric part survives the
+                # limit: C_ij + C_ji = -phi_j' dB phi_i, so the symmetric
+                # half -dB/2 must be kept (it is what the reference's
+                # B-orthonormal-coordinate suppression implicitly preserves).
+                dPhi[:, i] += Phi[:, j] * (-0.5 * (Phi[:, j] @ dBi))
+        dPhi[:, i] -= 0.5 * Phi[:, i] * (Phi[:, i] @ dBi)
+    return lam[:N], Phi[:, :N], dlam, dPhi
+
+
 # ---------------------------------------------------------------------------
 # Dense differentiable oracle (tests): Cholesky-transform + jnp.linalg.eigh
 # ---------------------------------------------------------------------------
