@@ -1,0 +1,96 @@
+"""Wingbox (CRM stand-in) tests: shell element sanity, modal solve, modal
+compliance total derivative vs FD (reference crm.py:379-407)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eigd_tpu.fem.shell import shell_element_matrices
+from eigd_tpu.models.crm import CRM, make_wingbox_mesh
+
+
+class TestShellElement:
+    def test_rigid_body_modes(self):
+        """A single flat shell element must have 6 zero-energy modes
+        (3 translations + 3 rotations) plus the drilling penalty."""
+        Xe = jnp.asarray(np.array([[[0.0, 0.0, 0.5], [1.0, 0.0, 0.5],
+                                    [1.1, 0.9, 0.5], [0.1, 1.0, 0.5]]]))
+        Ke, Me = shell_element_matrices(Xe, jnp.asarray([0.01]), drill=0.0)
+        K = np.asarray(Ke[0])
+        w = np.linalg.eigvalsh(K)
+        scale = np.abs(w).max()
+        # 6 rigid modes + 4 drilling rotations with drill=0 -> >= 6 near-zero
+        assert (np.abs(w) < 1e-9 * scale).sum() >= 6
+
+    def test_rotated_element_invariant(self):
+        """Stiffness spectrum must be invariant under rigid rotation."""
+        rng = np.random.default_rng(0)
+        Xe0 = np.array([[[0.0, 0.0, 0.0], [1.0, 0.0, 0.0],
+                         [1.0, 1.0, 0.0], [0.0, 1.0, 0.0]]])
+        th = 0.7
+        Rz = np.array([[np.cos(th), -np.sin(th), 0],
+                       [np.sin(th), np.cos(th), 0], [0, 0, 1.0]])
+        Rx = np.array([[1.0, 0, 0], [0, np.cos(0.4), -np.sin(0.4)],
+                       [0, np.sin(0.4), np.cos(0.4)]])
+        R = Rx @ Rz
+        Xe1 = np.einsum("ij,nkj->nki", R, Xe0)
+        K0, M0 = shell_element_matrices(jnp.asarray(Xe0), jnp.asarray([0.02]))
+        K1, M1 = shell_element_matrices(jnp.asarray(Xe1), jnp.asarray([0.02]))
+        w0 = np.linalg.eigvalsh(np.asarray(K0[0]))
+        w1 = np.linalg.eigvalsh(np.asarray(K1[0]))
+        np.testing.assert_allclose(w1, w0, rtol=1e-8, atol=1e-4 * abs(w0).max())
+
+    def test_mass_total(self):
+        Xe = jnp.asarray(np.array([[[0.0, 0.0, 0.0], [2.0, 0.0, 0.0],
+                                    [2.0, 1.0, 0.0], [0.0, 1.0, 0.0]]]))
+        t, rho = 0.01, 2700.0
+        Ke, Me = shell_element_matrices(Xe, jnp.asarray([t]), rho=rho)
+        tz = np.zeros(24)
+        tz[2::6] = 1.0  # global w translation
+        total = float(tz @ np.asarray(Me[0]) @ tz)
+        np.testing.assert_allclose(total, rho * t * 2.0, rtol=1e-10)
+
+
+class TestWingbox:
+    @pytest.fixture(scope="class")
+    def crm(self):
+        model = CRM(nspan=4, nchord=2, nheight=1, N=4, m=40, nribs=1)
+        model.initialize()
+        return model
+
+    def test_mesh_welded(self):
+        X, conn, comp, names = make_wingbox_mesh(nspan=4, nchord=2,
+                                                 nheight=1, nribs=1)
+        # skins and spars must share edge nodes
+        assert conn.max() + 1 == X.shape[0]
+        assert len(names) == 5
+        assert comp.max() == 4
+
+    def test_modal_solve(self, crm):
+        lam = np.asarray(crm.lam)
+        assert np.all(lam > 0)
+        assert np.all(np.diff(lam) > -1e-9)
+        # wingbox fundamental frequency should be physically plausible (Hz)
+        freq = np.sqrt(lam[0]) / (2 * np.pi)
+        assert 0.1 < freq < 1e4
+
+    def test_modal_compliance_derivative_fd(self, crm):
+        crm.initialize_adjoint()
+        crm.add_modal_compliance_derivative(1.0)
+        crm.finalize_adjoint()
+
+        rng = np.random.default_rng(1)
+        x0 = jnp.asarray(crm.x)
+        pert = jnp.asarray(rng.uniform(size=x0.shape))
+        h = 1e-7 * float(x0[0])
+
+        def val(x):
+            crm.x = x
+            crm.initialize()
+            return float(crm.get_modal_compliance())
+
+        fd = (val(x0 + h * pert) - val(x0 - h * pert)) / (2 * h)
+        crm.x = x0
+        crm.initialize()
+        rel = abs(float(pert @ crm.xb) - fd) / abs(fd)
+        assert rel < 1e-5, rel
