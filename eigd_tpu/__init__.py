@@ -34,6 +34,7 @@ from .ops.factor import (  # noqa: E402
     make_shift_factor,
 )
 from .ops.lanczos import BasicLanczos, LanczosResult, lanczos_iteration  # noqa: E402
+from .ops.restart import IRAM, thick_restart_solve  # noqa: E402
 from .ops.adjoint import (  # noqa: E402
     laa,
     sibk,
@@ -58,6 +59,8 @@ __all__ = [
     "BasicLanczos",
     "LanczosResult",
     "lanczos_iteration",
+    "IRAM",
+    "thick_restart_solve",
     "laa",
     "sibk",
     "pcpg",

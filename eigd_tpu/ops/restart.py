@@ -1,0 +1,202 @@
+"""Thick-restart shift-invert Lanczos: the TPU-native equivalent of the
+reference's ARPACK/IRAM path (/root/reference/eigd/eigenvector_derivatives.py
+:1873-2207 and arpack.py).
+
+ARPACK exists to bound memory: keep at most m basis vectors, compress to the
+best k Ritz directions, continue. Implicit restarts run inside Fortran with
+reverse communication; here the same capability is a jit-compatible loop of
+GEMMs (thick restart a la Wu & Simon, equivalent to implicitly restarted
+Lanczos for symmetric problems):
+
+* the basis is compressed by one (k, m) x (m, n) GEMM per restart — and
+  because eigd_tpu does Rayleigh-Ritz with the fully measured projected
+  operator (see lanczos.full_rayleigh_ritz), the cached operator outputs
+  compress the same way, so no arrowhead bookkeeping is needed;
+* expansion steps are the same CGS2 iteration as the direct solver;
+* cycle count is static; convergence is reported per mode.
+
+The reference warns that its IRAM path cannot drive the 'dl' adjoint
+(:2040-2043) because the compressed basis is not a Krylov chain — the same
+restriction applies here; laa/sibk/pcpg/pgmres all work from the returned
+subspace quantities.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .lanczos import LanczosResult, map_ritz_values
+from .operators import as_operator
+
+
+def thick_restart_solve(A, B, factor, sigma, N, m, k=None, ncycle=4,
+                        mode="normal", seed=12345, v0=None) -> LanczosResult:
+    """N smallest eigenpairs with basis size bounded by m.
+
+    k : retained Ritz directions per restart (default 2N).
+    ncycle : number of restart cycles (static).
+    """
+    A = as_operator(A)
+    B = as_operator(B)
+    n = A.shape[0]
+    dtype = A.dtype
+    if k is None:
+        k = min(2 * N, m - 2)
+
+    if v0 is None:
+        key = jax.random.PRNGKey(seed)
+        v0 = jax.random.uniform(key, (n,), dtype=dtype, minval=-1.0,
+                                maxval=1.0)
+
+    col = jnp.arange(m + 1)
+
+    def expand(V, BV, W, start, stop):
+        """CGS2 shift-invert Lanczos steps start..stop-1 (static bounds)."""
+
+        def body(i, carry):
+            V, BV, W = carry
+            w = factor.mv(BV[i])
+            W = W.at[i].set(w)
+            mask = (col <= i).astype(dtype)
+            h1 = (BV @ w) * mask
+            w = w - V.T @ h1
+            h2 = (BV @ w) * mask
+            w = w - V.T @ h2
+            bw = B.mv(w)
+            b = jnp.sqrt(w @ bw)
+            V = V.at[i + 1].set(w / b)
+            BV = BV.at[i + 1].set(bw / b)
+            return V, BV, W
+
+        return jax.lax.fori_loop(start, stop, body, (V, BV, W))
+
+    # --- first cycle: plain expansion from v0 -----------------------------
+    bv0 = B.mv(v0)
+    b0 = jnp.sqrt(v0 @ bv0)
+    V = jnp.zeros((m + 1, n), dtype=dtype).at[0].set(v0 / b0)
+    BV = jnp.zeros((m + 1, n), dtype=dtype).at[0].set(bv0 / b0)
+    W = jnp.zeros((m, n), dtype=dtype)
+    V, BV, W = expand(V, BV, W, 0, m)
+
+    def ritz(V, BV, W):
+        Hf = BV[:m] @ W.T
+        H = 0.5 * (Hf + Hf.T)
+        theta, Y = jnp.linalg.eigh(H)
+        return H, theta, Y
+
+    def restart_once(carry, _):
+        V, BV, W = carry
+        _, theta, Y = ritz(V, BV, W)
+        # retain the k Ritz directions with the largest |theta| (the
+        # shift-invert transform maps the wanted eigenvalues there)
+        sel = jnp.argsort(-jnp.abs(theta))[:k]
+        Ys = Y[:, sel]  # (m, k)
+        Vk = Ys.T @ V[:m]
+        BVk = Ys.T @ BV[:m]
+        Wk = Ys.T @ W  # Op is linear: Op(V^T y) = W^T y
+        V2 = jnp.zeros_like(V).at[:k].set(Vk).at[k].set(V[m])
+        BV2 = jnp.zeros_like(BV).at[:k].set(BVk).at[k].set(BV[m])
+        W2 = jnp.zeros_like(W).at[:k].set(Wk)
+        V2, BV2, W2 = expand(V2, BV2, W2, k, m)
+        return (V2, BV2, W2), None
+
+    (V, BV, W), _ = jax.lax.scan(restart_once, (V, BV, W), None,
+                                 length=max(0, ncycle - 1))
+
+    # --- final Rayleigh-Ritz with Jacobi polish ---------------------------
+    from .jacobi import eigh_accurate
+
+    Hf = BV[:m] @ W.T
+    H = 0.5 * (Hf + Hf.T)
+    theta, Y = eigh_accurate(H)
+    lam_all, order = map_ritz_values(theta, sigma, mode)
+    sel = order[:N]
+    lam = lam_all[sel]
+    Y0 = Y[:, sel]
+    Phi = V[:m].T @ Y0
+
+    # residual estimate: || Op phi - theta phi ||_B per selected mode
+    OpPhi = W.T @ Y0
+    Rm = OpPhi - Phi * theta[sel][None, :]
+    eig_res = jnp.sqrt(jnp.abs(jnp.sum(Rm * B.mv(Rm), axis=0)))
+
+    alpha = jnp.diag(H)
+    beta = jnp.concatenate([jnp.diag(H, k=1),
+                            jnp.zeros(1, dtype=dtype)])
+    return LanczosResult(lam=lam, Phi=Phi, V=V, BV=BV, alpha=alpha,
+                         beta=beta, H=H, theta=theta, Y=Y, order=order,
+                         lam_all=lam_all, eig_res=eig_res,
+                         sigma=jnp.asarray(sigma, dtype=dtype))
+
+
+class IRAM:
+    """Restarted-eigensolver class with the reference IRAM's surface
+    (solve / solve_adjoint / add_total_derivative, :1873-2207)."""
+
+    def __init__(self, N=10, m=None, eig_atol=1e-5, tol=0.0, mode="normal",
+                 ncycle=4, seed=12345):
+        self.N = N
+        self.m = int(max(20, 2 * N + 1)) if m is None else int(
+            max(20, 2 * N + 1, m))
+        self.eig_atol = eig_atol
+        self.tol = tol
+        self.mode = mode
+        self.ncycle = ncycle
+        self.seed = seed
+
+    def solve(self, A, B, factor, sigma):
+        self.A = as_operator(A)
+        self.B = as_operator(B)
+        self.factor = factor
+        self.sigma = sigma
+        self.res = thick_restart_solve(self.A, self.B, factor, sigma,
+                                       self.N, self.m, ncycle=self.ncycle,
+                                       mode=self.mode, seed=self.seed)
+        lam_np = np.asarray(self.res.lam)
+        if self.N < self.m and abs(
+                np.asarray(self.res.lam_all[self.res.order[self.N]])
+                - lam_np[-1]) < self.eig_atol:
+            warnings.warn("IRAM: Ritz values at the N boundary are "
+                          "numerically repeated.")
+        self.lam0 = self.res.lam
+        self.Phi = self.res.Phi
+        self.eig_res = np.asarray(self.res.eig_res)
+        return self.lam0, self.Phi
+
+    def solve_adjoint(self, Phib, method="sibk", **kwargs):
+        from .lanczos import BasicLanczos
+
+        if method == "dl":
+            raise ValueError(
+                "dl requires the unrestarted Lanczos chain; use BasicLanczos"
+                " (the reference's IRAM has the same restriction).")
+        proxy = BasicLanczos.__new__(BasicLanczos)
+        proxy.A, proxy.B = self.A, self.B
+        proxy.factor = self.factor
+        proxy.sigma = self.sigma
+        proxy.mode = self.mode
+        proxy.eig_atol = self.eig_atol
+        proxy.res = self.res
+        proxy.N = self.N
+        return BasicLanczos.solve_adjoint(proxy, Phib, method=method,
+                                          **kwargs)
+
+    def eval_adjoint_residual_norm(self, Phib, psi, b_ortho=False):
+        from . import adjoint as adj
+
+        return adj.eval_adjoint_residual_norm(
+            self.A, self.B, self.res.lam, self.res.Phi, Phib, psi,
+            mode=self.mode, b_ortho=b_ortho)
+
+    def add_total_derivative(self, lamb, Phib, psi, dAdx, dBdx, dfdx,
+                             adj_corr_data=None, deriv_type="tensor"):
+        from . import adjoint as adj
+
+        return adj.add_eig_total_derivative(
+            self.res.lam, self.res.Phi, lamb, Phib, psi, dAdx, dBdx, dfdx,
+            adj_corr_data=adj_corr_data, mode=self.mode,
+            deriv_type=deriv_type)

@@ -170,3 +170,49 @@ class TestBasicLanczosClass:
                             0.0, N, m=50)
         np.testing.assert_allclose(np.asarray(res.lam), np.asarray(lam_o),
                                    rtol=1e-10)
+
+
+class TestThickRestartIRAM:
+    def test_restarted_matches_dense(self):
+        """Memory-bounded solve: m = 22 basis vectors with restarts must
+        reach the same eigenpairs as the dense oracle."""
+        from eigd_tpu.ops.restart import IRAM
+
+        n, N = 150, 5
+        A, B = make_spd_pencil(n, seed=11)
+        factor = make_shift_factor(A, B, 0.0)
+        solver = IRAM(N=N, m=22, ncycle=6)
+        lam, Phi = solver.solve(A, B, factor, 0.0)
+        import scipy.linalg
+
+        lam_ref = scipy.linalg.eigh(np.asarray(A), np.asarray(B),
+                                    eigvals_only=True)[:N]
+        np.testing.assert_allclose(np.asarray(lam), lam_ref, rtol=1e-9)
+        assert float(solver.eig_res.max()) < 1e-7
+
+    def test_restarted_adjoint_residual(self):
+        from eigd_tpu.ops.restart import IRAM
+
+        n, N = 120, 4
+        A, B = make_spd_pencil(n, seed=12)
+        factor = make_shift_factor(A, B, 0.0)
+        solver = IRAM(N=N, m=20, ncycle=6)
+        solver.solve(A, B, factor, 0.0)
+        rng = np.random.default_rng(13)
+        Phib = jnp.asarray(rng.standard_normal((n, N)))
+        psi, data = solver.solve_adjoint(Phib, method="sibk", rtol=1e-12)
+        res, ortho = solver.eval_adjoint_residual_norm(Phib, psi,
+                                                       b_ortho=True)
+        scale = float(jnp.sqrt(jnp.max(jnp.sum(Phib**2, axis=0))))
+        assert float(jnp.max(res)) / scale < 1e-8
+
+    def test_dl_rejected(self):
+        from eigd_tpu.ops.restart import IRAM
+
+        n, N = 60, 3
+        A, B = make_spd_pencil(n, seed=14)
+        factor = make_shift_factor(A, B, 0.0)
+        solver = IRAM(N=N, m=20, ncycle=3)
+        solver.solve(A, B, factor, 0.0)
+        with pytest.raises(ValueError):
+            solver.solve_adjoint(jnp.zeros((n, N)), method="dl")
