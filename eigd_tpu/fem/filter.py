@@ -32,7 +32,15 @@ def _spatial_weights(X, r0, kmax=None):
     """Host-side neighbor search -> padded ELL (idx, wts) arrays.
 
     Weight of neighbor j of node i is (r0 - dist)/sum (node_filter.py:74-83).
+    Uses the native C++ grid-hash search when available (eigd_tpu.native),
+    falling back to scipy's KDTree.
     """
+    from .. import native
+
+    if kmax is None and native.available():
+        idx, wts = native.radius_neighbors_ell(X, r0)
+        return jnp.asarray(idx), jnp.asarray(wts)
+
     from scipy import spatial
 
     tree = spatial.KDTree(X)
