@@ -53,7 +53,7 @@ class TopologyAnalysis:
         adjoint_options = adjoint_options or {}
 
         if m is None:
-            m = max(3 * (N + 3) + 1, 60)
+            m = max(3 * N + 1, 60)
         self.m = m
 
         self.E = E
@@ -70,14 +70,19 @@ class TopologyAnalysis:
         self.dofs = fem.element_dof_map(self.conn)
         self.Be, self.He, self.detJ = plane_stress_tables(self.X, self.conn)
 
-        # Eigensolve configuration: 3 rigid modes solved and discarded.
+        # Eigensolve configuration. The reference solves N+3 modes and
+        # discards the three rigid-body modes (natural_frequency.py:348,
+        # 382-384); here the known rigid null space is *deflated* out of the
+        # Krylov iteration instead — robust even though the rigid triple is
+        # exactly degenerate, and three modes cheaper.
         self.cfg = EighGenConfig(
-            N=N + 3, m=self.m, sigma=sigma, mode="normal",
+            N=N, m=self.m, sigma=sigma, mode="normal",
             adjoint_method=adjoint_method,
             adjoint_maxiter=adjoint_options.get("maxiter", 60),
             adjoint_rtol=rtol * 1e-2, nrestart=adjoint_options.get(
                 "nrestart", 2), eig_atol=eig_atol)
-        self.problem = EigProblem(assemble=self._assemble)
+        self.problem = EigProblem(assemble=self._assemble,
+                                  nullspace=self._nullspace)
 
         self.x = 0.95 * jnp.ones(self.fltr.num_design_vars)
         self.Q = None
@@ -100,12 +105,23 @@ class TopologyAnalysis:
                             density=self.density)
         return K, M
 
+    def _nullspace(self, rhoE):
+        """Rigid-body modes of the free-free plane-stress structure:
+        two translations + the linearized rotation (3, nvars)."""
+        del rhoE
+        n = self.nvars
+        tx = jnp.zeros(n).at[0::2].set(1.0)
+        ty = jnp.zeros(n).at[1::2].set(1.0)
+        rot = jnp.zeros(n).at[0::2].set(-self.X[:, 1]).at[1::2].set(
+            self.X[:, 0])
+        return jnp.stack([tx, ty, rot])
+
     def _solve_fn(self, x):
-        """x (design vars) -> (lam, Q) with rigid modes discarded."""
+        """x (design vars) -> (lam, Q); rigid modes deflated out."""
         rho = self.fltr.apply(x)
         rhoE = fem.element_density(rho, self.conn)
-        lam_all, Phi_all = eigh_gen(rhoE, self.problem, self.cfg)
-        return lam_all[3:], Phi_all[:, 3:], rho, rhoE
+        lam, Phi = eigh_gen(rhoE, self.problem, self.cfg)
+        return lam, Phi, rho, rhoE
 
     # ------------------------------------------------------------------
     # Three-phase adjoint protocol (reference :394-519)

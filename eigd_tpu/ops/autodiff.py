@@ -136,30 +136,48 @@ class EigProblem:
     assemble(theta) must be JAX-differentiable and return a pair of Operators
     (A, B). The eigh_gen VJP chains the eigen-cotangents into theta via a VJP
     of the bilinear forms of assemble — no hand-written dA/dx needed.
+
+    nullspace(theta), if given, returns a (k, n) row basis of a known null
+    space of A (e.g. rigid-body modes); the Lanczos iteration deflates it
+    instead of computing and discarding those modes.
+
+    factor(A, B, sigma, mode), if given, overrides the default dense
+    Cholesky shift-invert factor (e.g. with a BlockTridiagFactor).
     """
 
     assemble: Callable  # theta -> (A, B) operators
+    nullspace: Callable = None  # theta -> (k, n) rows, optional
+    factor: Callable = None  # (A, B, sigma, mode) -> factor, optional
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def eigh_gen(theta, problem: EigProblem, cfg: EighGenConfig):
     """N smallest eigenpairs of A(theta) phi = lam B(theta) phi."""
     A, B = problem.assemble(theta)
-    lam, Phi, _ = _forward_ops(A, B, cfg)
+    lam, Phi, _ = _forward_ops(theta, problem, A, B, cfg)
     return lam, Phi
 
 
-def _forward_ops(A, B, cfg):
-    factor = make_shift_factor(A, B, cfg.sigma, mode=cfg.mode,
-                               kind=cfg.factor_kind)
+def _forward_ops(theta, problem, A, B, cfg):
+    if problem.factor is not None:
+        factor = problem.factor(A, B, cfg.sigma, cfg.mode)
+    else:
+        factor = make_shift_factor(A, B, cfg.sigma, mode=cfg.mode,
+                                   kind=cfg.factor_kind)
+    deflate = None
+    if problem.nullspace is not None:
+        from .lanczos import b_orthonormalize_rows
+
+        U0 = problem.nullspace(theta)
+        deflate = b_orthonormalize_rows(U0, B.mv)
     res = lanczos_solve(A, B, factor, cfg.sigma, cfg.N, cfg.m,
-                        mode=cfg.mode, seed=cfg.seed)
+                        mode=cfg.mode, seed=cfg.seed, deflate=deflate)
     return res.lam, res.Phi, (res, factor)
 
 
 def _eigh_gen_fwd(theta, problem, cfg):
     A, B = problem.assemble(theta)
-    lam, Phi, (res, factor) = _forward_ops(A, B, cfg)
+    lam, Phi, (res, factor) = _forward_ops(theta, problem, A, B, cfg)
     return (lam, Phi), (theta, A, B, res, factor)
 
 

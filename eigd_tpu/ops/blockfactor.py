@@ -1,0 +1,166 @@
+"""Block-tridiagonal Cholesky factor for structured-grid problems.
+
+This is the TPU answer to SuperLU for the shift-invert factor at scale
+(SURVEY.md §7 hard part #1): a regular nx x ny grid ordered line-by-line
+makes A - sigma*B block tridiagonal with dense (b, b) blocks, b = ndof*(ny+1).
+The factorization is a lax.scan of dense block operations (potrf + GEMMs —
+pure MXU work); the block inverses are precomputed so every factor apply is a
+forward/backward scan of (b, b) x (b,) GEMMs with no triangular solves on the
+critical path.
+
+cost: factorize O(nx * b^3) flops; apply O(nx * b^2) per vector.
+memory: 2 * nx * b^2 words (block inverses + couplings) — store in f32 and
+wrap with CG/iterative refinement in f64 when HBM-bound.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.scipy.linalg import solve_triangular
+
+
+def grid_block_tridiag(mats, nx, ny, ndof=2):
+    """Element matrices -> block-tridiagonal blocks for the line ordering.
+
+    mats : (nx*ny, 4*ndof, 4*ndof) element matrices with element index
+        e = i + nx*j and node order [(i,j), (i+1,j), (i+1,j+1), (i,j+1)]
+        (eigd_tpu.fem.model.make_grid layout); nodes[i,j] = i*(ny+1)+j.
+
+    Returns D (nx+1, b, b) diagonal blocks and E (nx, b, b) sub-diagonal
+    blocks (E_i = A[line i+1, line i]), with b = ndof*(ny+1).
+    """
+    b = ndof * (ny + 1)
+    d4 = 4 * ndof
+    # rearrange to (nx, ny, d4, d4)
+    Me = mats.reshape(ny, nx, d4, d4).transpose(1, 0, 2, 3)
+
+    # local node -> (line offset 0/1, within-line node index j or j+1)
+    # node order: n0=(i,j), n1=(i+1,j), n2=(i+1,j+1), n3=(i,j+1)
+    node_line = np.array([0, 1, 1, 0])
+    node_joff = np.array([0, 0, 1, 1])
+
+    # index of each element dof within its line block, per j (ny, d4)
+    j_idx = np.arange(ny)
+    col = np.zeros((ny, d4), dtype=np.int32)
+    line = np.zeros(d4, dtype=np.int32)
+    for a in range(4):
+        for d in range(ndof):
+            col[:, ndof * a + d] = ndof * (j_idx + node_joff[a]) + d
+            line[ndof * a + d] = node_line[a]
+    col = jnp.asarray(col)
+    line_mask0 = jnp.asarray((line == 0).astype(np.float64))
+    line_mask1 = jnp.asarray((line == 1).astype(np.float64))
+
+    # Split each element matrix into the four line-block pieces and
+    # scatter-add into (b, b) blocks per column of elements.
+    def blocks_for_line(Mi):
+        """Mi: (ny, d4, d4) for one column i -> (D_lo, D_hi, E) blocks.
+
+        D_lo : coupling within line i, D_hi : within line i+1,
+        E    : A[line i+1, line i].
+        """
+        m00 = Mi * (line_mask0[None, :, None] * line_mask0[None, None, :])
+        m11 = Mi * (line_mask1[None, :, None] * line_mask1[None, None, :])
+        m10 = Mi * (line_mask1[None, :, None] * line_mask0[None, None, :])
+
+        def scatter(m):
+            out = jnp.zeros((b, b), dtype=mats.dtype)
+            return out.at[col[:, :, None], col[:, None, :]].add(m)
+
+        return scatter(m00), scatter(m11), scatter(m10)
+
+    D_lo, D_hi, E = jax.vmap(blocks_for_line)(Me)  # (nx, b, b) each
+    D = jnp.zeros((nx + 1, b, b), dtype=mats.dtype)
+    D = D.at[:nx].add(D_lo)
+    D = D.at[1:].add(D_hi)
+    return D, E
+
+
+@jax.tree_util.register_pytree_node_class
+class BlockTridiagFactor:
+    """apply(x) = A^{-1} x for block-tridiagonal SPD A via block Cholesky.
+
+    Stores the inverses of the Cholesky diagonal blocks (Linv) and the
+    scaled couplings F_i = E_i Linv_i^T, so applies are GEMM-only scans.
+    """
+
+    def __init__(self, Linv, F, shape_info):
+        self.Linv = Linv  # (nb, b, b)
+        self.F = F  # (nb-1, b, b)
+        self.nb, self.b = shape_info
+
+    @classmethod
+    def from_blocks(cls, D, E):
+        nb, b = D.shape[0], D.shape[1]
+        eye = jnp.eye(b, dtype=D.dtype)
+
+        # Block Cholesky: S_i = D_i - F_{i-1} F_{i-1}^T, L_i = chol(S_i),
+        # F_i = E_i L_i^{-T}. One scan step per grid line.
+        def body(carry, inputs):
+            F_prev = carry
+            Di, Ei = inputs  # Ei = E_i (coupling to the NEXT line); for the
+            # last line Ei is zero padding
+            S = Di - F_prev @ F_prev.T
+            L = jnp.linalg.cholesky(S)
+            Linv = solve_triangular(L, eye, lower=True)
+            F_next = Ei @ Linv.T  # F_i = E_i Linv_i^T
+            return F_next, (Linv, F_next)
+
+        Epad_tail = jnp.concatenate([E, jnp.zeros((1, b, b), dtype=D.dtype)])
+        F0 = jnp.zeros((b, b), dtype=D.dtype)
+        _, (Linv_all, F_all) = jax.lax.scan(body, F0, (D, Epad_tail))
+        return cls(Linv_all, F_all[:-1], (nb, b))
+
+    @property
+    def shape(self):
+        n = self.nb * self.b
+        return (n, n)
+
+    @property
+    def dtype(self):
+        return self.Linv.dtype
+
+    def mv(self, x):
+        squeeze = x.ndim == 1
+        if squeeze:
+            x = x[:, None]
+        k = x.shape[1]
+        xb = x.reshape(self.nb, self.b, k)
+        Fpad = jnp.concatenate(
+            [jnp.zeros((1, self.b, self.b), dtype=self.Linv.dtype), self.F])
+
+        # forward: y_i = Linv_i (x_i - F_{i-1} y_{i-1})
+        def fwd(y_prev, inputs):
+            xi, Linv, Fprev = inputs
+            y = Linv @ (xi - Fprev @ y_prev)
+            return y, y
+
+        y0 = jnp.zeros((self.b, k), dtype=x.dtype)
+        _, Y = jax.lax.scan(fwd, y0, (xb, self.Linv, Fpad))
+
+        # backward: z_i = Linv_i^T (y_i - F_i^T z_{i+1})
+        def bwd(z_next, inputs):
+            yi, Linv, Fi = inputs
+            z = Linv.T @ (yi - Fi.T @ z_next)
+            return z, z
+
+        Fpad_tail = jnp.concatenate(
+            [self.F, jnp.zeros((1, self.b, self.b), dtype=self.Linv.dtype)])
+        _, Z = jax.lax.scan(bwd, y0, (Y, self.Linv, Fpad_tail), reverse=True)
+        out = Z.reshape(self.nb * self.b, k)
+        if squeeze:
+            out = out[:, 0]
+        return out
+
+    def __call__(self, x):
+        return self.mv(x)
+
+    def tree_flatten(self):
+        return (self.Linv, self.F), (self.nb, self.b)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        Linv, F = children
+        return cls(Linv, F, aux)

@@ -92,7 +92,7 @@ def full_rayleigh_ritz(BV, W_raw, sigma, mode):
     return theta, Y, lam, order
 
 
-def lanczos_iteration(factor_mv, B_mv, v0, m):
+def lanczos_iteration(factor_mv, B_mv, v0, m, deflate=None):
     """Run m shift-invert Lanczos steps with full B-orthogonalization (CGS2).
 
     The iterated operator is ``factor(B @ v)`` (reference :1500); the inner
@@ -117,10 +117,26 @@ def lanczos_iteration(factor_mv, B_mv, v0, m):
         orthogonalization. One extra GEMM against BV yields the *fully
         measured* projected operator for the final Rayleigh-Ritz (see
         full_rayleigh_ritz).
+
+    deflate : optional (U, BU) pair of (k, n) row bases with U B-orthonormal;
+        every Krylov vector is kept B-orthogonal to span(U). Used to project
+        out known null spaces (e.g. rigid-body modes) instead of computing
+        and discarding them — more robust than the reference's solve-N+3
+        approach, which under-resolves exactly degenerate triples.
     """
     n = v0.shape[0]
     dtype = v0.dtype
 
+    if deflate is not None:
+        U, BU = deflate
+
+        def defl(w):
+            return w - U.T @ (BU @ w)
+    else:
+        def defl(w):
+            return w
+
+    v0 = defl(v0)
     bv0 = B_mv(v0)
     b0 = jnp.sqrt(v0 @ bv0)
     v0 = v0 / b0
@@ -142,10 +158,12 @@ def lanczos_iteration(factor_mv, B_mv, v0, m):
         mask = (col <= i).astype(dtype)
         # Two-pass classical Gram-Schmidt in the B inner product. The B-inner
         # products against the whole basis are GEMMs with the cached BV.
+        w = defl(w)
         h1 = (BV @ w) * mask
         w = w - V.T @ h1
         h2 = (BV @ w) * mask
         w = w - V.T @ h2
+        w = defl(w)
         h = h1 + h2
 
         bw = B_mv(w)
@@ -210,8 +228,26 @@ class LanczosResult:
         return self.theta[self.order]
 
 
+def b_orthonormalize_rows(U0, B_mv):
+    """B-orthonormalize a small set of row vectors (modified Gram-Schmidt).
+
+    U0 : (k, n) rows. Returns (U, BU) with U B-orthonormal. Differentiable;
+    k is small and static so the loop unrolls.
+    """
+    rows, brows = [], []
+    for i in range(U0.shape[0]):
+        u = U0[i]
+        for v, bv in zip(rows, brows):
+            u = u - (bv @ u) * v
+        bu = B_mv(u)
+        nrm = jnp.sqrt(u @ bu)
+        rows.append(u / nrm)
+        brows.append(bu / nrm)
+    return jnp.stack(rows), jnp.stack(brows)
+
+
 def lanczos_solve(A, B, factor, sigma, N, m, mode="normal", seed=12345,
-                  v0=None) -> LanczosResult:
+                  v0=None, deflate=None) -> LanczosResult:
     """Full shift-invert Lanczos solve returning the N smallest eigenpairs.
 
     jit-compatible (static N, m, mode). Functional counterpart of the
@@ -226,7 +262,8 @@ def lanczos_solve(A, B, factor, sigma, N, m, mode="normal", seed=12345,
         key = jax.random.PRNGKey(seed)
         v0 = jax.random.uniform(key, (n,), dtype=dtype, minval=-1.0, maxval=1.0)
 
-    V, BV, alpha, beta, W_raw = lanczos_iteration(factor.mv, B.mv, v0, m)
+    V, BV, alpha, beta, W_raw = lanczos_iteration(factor.mv, B.mv, v0, m,
+                                                  deflate=deflate)
     Hf = BV[:m] @ W_raw.T
     H = 0.5 * (Hf + Hf.T)
     # Jacobi-polished reduced eigensolve: XLA's eigh alone caps eigenvector
