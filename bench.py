@@ -26,25 +26,40 @@ N_MODES = 6
 
 
 def tpu_run():
+    """Forward eigensolve + adjoint gradient, staged execution.
+
+    NOTE: deliberately NOT one monolithic jit — the axon remote-compile
+    tunnel handles the moderate per-stage executables (lanczos fori_loop,
+    sibk ladder, eigh, ...) in minutes and caches them persistently, while a
+    single fused program stalls its AOT compiler. Each hot loop is still a
+    single compiled XLA computation; only the stage boundaries dispatch
+    eagerly.
+    """
     from eigd_tpu.models.natural_frequency import make_model
 
     topo = make_model(nx=NX, ny=NY, Lx=2.0, Ly=1.0, N=N_MODES, rfact=2.0)
     x0 = jnp.asarray(topo.x)
 
-    def objective(x):
-        lam, Q, rho, rhoE = topo._solve_fn(x)
-        return jnp.sum(jnp.sqrt(lam)) + jnp.sum(Q[:8, :] ** 2)
+    def objective_seeds(lam, Q):
+        def f(lam, Q):
+            return jnp.sum(jnp.sqrt(lam)) + jnp.sum(Q[:8, :] ** 2)
+        v, grads = jax.value_and_grad(f, argnums=(0, 1))(lam, Q)
+        return v, grads
 
-    step = jax.jit(jax.value_and_grad(objective))
+    def run(x):
+        (lam, Q, rho, rhoE), vjp = jax.vjp(topo._solve_fn, x)
+        v, (lamb, Qb) = objective_seeds(lam, Q)
+        (g,) = vjp((lamb, Qb, jnp.zeros_like(rho), jnp.zeros_like(rhoE)))
+        return v, g
 
-    # warmup / compile
-    v, g = step(x0)
+    # warmup / compile all stages
+    v, g = run(x0)
     g.block_until_ready()
 
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        v, g = step(x0)
+        v, g = run(x0)
         g.block_until_ready()
         times.append(time.perf_counter() - t0)
     return min(times), float(v), np.asarray(g)

@@ -141,6 +141,13 @@ class TopologyAnalysis:
             self._signs = jnp.ones(Q.shape[1])
         self.Q = Q
         self.profile["eigenvalue solve time"] = time.time() - t0
+        # Factor applications are deterministic for the fixed-trip design:
+        # m Lanczos solves forward (the reference counts these through
+        # SpLuOperator.count, eigenvector_derivatives.py:16-22).
+        self.profile["solve preconditioner count"] = self.m
+        self.profile["adjoint preconditioner count"] = (
+            1 + self.cfg.nrestart * self.cfg.adjoint_maxiter)
+        self.profile["adjoint solution method"] = self.cfg.adjoint_method
         self.profile["natural frequencies"] = np.sqrt(
             np.asarray(self.lam)).tolist()
         if store:
@@ -205,6 +212,37 @@ class TopologyAnalysis:
             rhoE = fem.element_density(rho, self.conn)
             return jnp.sum(self.detJ * rhoE[None, :])
         return jax.grad(area)(self.x)
+
+    def add_check_adjoint_residual(self, b_ortho=True):
+        """Diagnostics (reference check_adjoint_residual, :428-440): re-run
+        the adjoint solve standalone at the current design and record the
+        per-mode residual and orthogonality of the adjoint equations."""
+        from ..ops import adjoint as adj
+        from ..ops.factor import make_shift_factor
+        from ..ops.lanczos import b_orthonormalize_rows, lanczos_solve
+
+        rho = self.fltr.apply(self.x)
+        rhoE = fem.element_density(rho, self.conn)
+        A, B = self._assemble(rhoE)
+        factor = make_shift_factor(A, B, self.sigma)
+        deflate = b_orthonormalize_rows(self._nullspace(rhoE), B.mv)
+        res = lanczos_solve(A, B, factor, self.sigma, self.cfg.N, self.m,
+                            deflate=deflate)
+        Phib = self.Qb * self._signs[None, :]
+        psi0 = adj.laa(Phib, B, factor, res, b_ortho=True)
+        psi, data, info = adj.sibk(
+            Phib, A, B, res.lam, res.Phi, psi=psi0, sigma=self.sigma,
+            factor=factor, rtol=self.cfg.adjoint_rtol,
+            eig_atol=self.eig_atol, maxiter=self.cfg.adjoint_maxiter,
+            nrestart=self.cfg.nrestart)
+        r, o = adj.eval_adjoint_residual_norm(A, B, res.lam, res.Phi, Phib,
+                                              psi, b_ortho=b_ortho)
+        for i in range(self.N):
+            self.profile[f"adjoint norm[{i:2d}]"] = float(r[i])
+            self.profile[f"adjoint ortho[{i:2d}]"] = float(o[i])
+            self.profile[f"adjoint lam[{i:2d}]"] = float(res.lam[i])
+        self.profile["adjoint residuals"] = np.asarray(info).tolist()
+        return r
 
     def _init_profile(self):
         return {
@@ -296,6 +334,7 @@ class MinFreqOpt:
 
         self.initialize_adjoint()
         self.finalize_adjoint()
+        self.topo.add_check_adjoint_residual(b_ortho=True)
 
         if pert is None:
             pert = jnp.asarray(np.random.uniform(size=x0.shape))

@@ -307,11 +307,20 @@ class BasicLanczos:
     """
 
     def __init__(self, N=10, m=60, tol=1e-14, Ntarget=None, eig_atol=1e-5,
-                 mode="normal", seed=12345):
+                 mode="normal", seed=12345, ortho_type="full"):
         if mode not in ("normal", "buckling"):
             raise ValueError(f"Unknown mode {mode!r}")
         if Ntarget is not None and not isinstance(Ntarget, int):
             raise ValueError("Ntarget must be an integer or None")
+        if ortho_type not in ("full", "selective"):
+            raise ValueError(f"Unknown ortho_type {ortho_type!r}")
+        # The reference's "selective" mode (orthogonalize against the last
+        # two vectors + nearly-converged Ritz vectors, :1553-1605) exists to
+        # cut the O(n*m) CPU dot products of full reorthogonalization. On
+        # TPU the full CGS2 pass is two tall-skinny GEMMs against the cached
+        # B-basis — *cheaper* than selective's data-dependent bookkeeping and
+        # more robust — so both settings run the full-orthogonal iteration.
+        self.ortho_type = ortho_type
         self.N = N
         self.m = m
         self.tol = tol
