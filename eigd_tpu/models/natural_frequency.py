@@ -37,7 +37,7 @@ class TopologyAnalysis:
                  rho0_M=1e-9, p=3.0, q=5.0, density=1.0, sigma=-10.0, N=10,
                  m=None, solver_type="lanczos", tol=1e-14, rtol=1e-10,
                  eig_atol=1e-5, adjoint_method="sibk", adjoint_options=None,
-                 deriv_type="tensor"):
+                 deriv_type="tensor", factor_kind="dense", grid_shape=None):
         del solver_type, deriv_type  # single TPU-native solver; always batched
         self.fltr = fltr
         self.conn = jnp.asarray(np.asarray(conn))
@@ -81,8 +81,26 @@ class TopologyAnalysis:
             adjoint_maxiter=adjoint_options.get("maxiter", 60),
             adjoint_rtol=rtol * 1e-2, nrestart=adjoint_options.get(
                 "nrestart", 2), eig_atol=eig_atol)
+        # Scalable path: never densify — block-tridiagonal Cholesky of the
+        # shifted element matrices using the grid line structure, with
+        # matrix-free element-operator matvecs everywhere else.
+        factor_fn = None
+        if factor_kind == "blocktridiag":
+            if grid_shape is None:
+                raise ValueError("factor_kind='blocktridiag' needs grid_shape")
+            gnx, gny = grid_shape
+
+            def factor_fn(A, B, sig, mode):
+                from ..ops.blockfactor import (BlockTridiagFactor,
+                                               grid_block_tridiag)
+
+                shifted = A.mats - sig * B.mats
+                D, Esub = grid_block_tridiag(shifted, gnx, gny, ndof=2)
+                return BlockTridiagFactor.from_blocks(D, Esub)
+
         self.problem = EigProblem(assemble=self._assemble,
-                                  nullspace=self._nullspace)
+                                  nullspace=self._nullspace,
+                                  factor=factor_fn)
 
         self.x = 0.95 * jnp.ones(self.fltr.num_design_vars)
         self.Q = None
@@ -224,7 +242,10 @@ class TopologyAnalysis:
         rho = self.fltr.apply(self.x)
         rhoE = fem.element_density(rho, self.conn)
         A, B = self._assemble(rhoE)
-        factor = make_shift_factor(A, B, self.sigma)
+        if self.problem.factor is not None:
+            factor = self.problem.factor(A, B, self.sigma, "normal")
+        else:
+            factor = make_shift_factor(A, B, self.sigma)
         deflate = b_orthonormalize_rows(self._nullspace(rhoE), B.mv)
         res = lanczos_solve(A, B, factor, self.sigma, self.cfg.N, self.m,
                             deflate=deflate)
@@ -375,6 +396,9 @@ def make_model(nx=128, ny=64, Lx=1.0, Ly=1.0, rfact=4.0, N=10, Mx=3, My=3,
                       num_design_vars=ndv,
                       projection=kwargs.pop("projection", False),
                       beta=kwargs.pop("b0", 10.0))
+
+    if kwargs.get("factor_kind") == "blocktridiag":
+        kwargs.setdefault("grid_shape", (nx, ny))
 
     topo = TopologyAnalysis(fltr, mesh.conn, mesh.X, N=N,
                             node_sets=node_sets, element_sets=element_sets,

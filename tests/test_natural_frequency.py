@@ -82,3 +82,34 @@ class TestMinFreqOpt:
         opt = MinFreqOpt(topo)
         data = opt.test_ks_func(dh_fd=1e-6)
         assert data["fd_err"] < 1e-6, data
+
+
+class TestBlockTridiagPath:
+    def test_matches_dense_path_and_fd(self):
+        """Scalable factor path (matrix-free + block-tridiag Cholesky) must
+        reproduce the dense-factor results and pass the FD check."""
+        topo_d = make_model(nx=12, ny=6, Lx=2.0, Ly=1.0, N=4, rfact=2.0)
+        topo_b = make_model(nx=12, ny=6, Lx=2.0, Ly=1.0, N=4, rfact=2.0,
+                            factor_kind="blocktridiag")
+        topo_d.initialize()
+        topo_b.initialize()
+        np.testing.assert_allclose(np.asarray(topo_b.lam),
+                                   np.asarray(topo_d.lam), rtol=1e-9)
+
+        topo_b.initialize_adjoint()
+        topo_b.add_frequency_derivatives(jnp.ones(topo_b.N))
+        topo_b.finalize_adjoint()
+        rng = np.random.default_rng(5)
+        x0 = jnp.asarray(topo_b.x)
+        pert = jnp.asarray(rng.uniform(size=np.asarray(x0).shape))
+        h = 1e-6
+
+        def total(x):
+            topo_b.x = x
+            topo_b.initialize()
+            return float(jnp.sum(topo_b.get_frequencies()))
+
+        fd = (total(x0 + h * pert) - total(x0 - h * pert)) / (2 * h)
+        topo_b.x = x0
+        rel = abs(float(pert @ topo_b.xb) - fd) / abs(fd)
+        assert rel < 5e-7, rel
