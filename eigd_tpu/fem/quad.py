@@ -13,9 +13,13 @@ intital_Be_and_He (:109-132).
 
 from __future__ import annotations
 
+import math
+
 import jax.numpy as jnp
 
-GAUSS = (-1.0 / jnp.sqrt(3.0), 1.0 / jnp.sqrt(3.0))
+# Plain Python floats: no device computation may happen at import time
+# (the multi-chip dryrun configures the platform before first jax use).
+GAUSS = (-1.0 / math.sqrt(3.0), 1.0 / math.sqrt(3.0))
 
 
 def shape_functions(xi, eta):
@@ -51,16 +55,10 @@ def _grads(xe, ye, xi, eta):
 
 def quad_points():
     """The four (xi, eta) Gauss points in reference index order 2*i + j."""
-    pts = []
-    for j in range(2):
-        for i in range(2):
-            pts.append((GAUSS[i], GAUSS[j]))
-    # index = 2*i + j ordering: build explicitly
     out = [None] * 4
     for j in range(2):
         for i in range(2):
             out[2 * i + j] = (GAUSS[i], GAUSS[j])
-    del pts
     return out
 
 

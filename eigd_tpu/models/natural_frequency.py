@@ -37,7 +37,8 @@ class TopologyAnalysis:
                  rho0_M=1e-9, p=3.0, q=5.0, density=1.0, sigma=-10.0, N=10,
                  m=None, solver_type="lanczos", tol=1e-14, rtol=1e-10,
                  eig_atol=1e-5, adjoint_method="sibk", adjoint_options=None,
-                 deriv_type="tensor", factor_kind="dense", grid_shape=None):
+                 deriv_type="tensor", factor_kind="dense", grid_shape=None,
+                 lanczos_tol=None):
         del solver_type, deriv_type  # single TPU-native solver; always batched
         self.fltr = fltr
         self.conn = jnp.asarray(np.asarray(conn))
@@ -80,23 +81,35 @@ class TopologyAnalysis:
             adjoint_method=adjoint_method,
             adjoint_maxiter=adjoint_options.get("maxiter", 60),
             adjoint_rtol=rtol * 1e-2, nrestart=adjoint_options.get(
-                "nrestart", 2), eig_atol=eig_atol)
+                "nrestart", 2), eig_atol=eig_atol,
+            lanczos_tol=lanczos_tol)
         # Scalable path: never densify — block-tridiagonal Cholesky of the
         # shifted element matrices using the grid line structure, with
         # matrix-free element-operator matvecs everywhere else.
+        # 'blocktridiag_f32' stores the factor in f32 (half the HBM, f32 MXU
+        # rate on the apply scans) and recovers f64 solve accuracy with
+        # iterative refinement against the matrix-free f64 operator.
         factor_fn = None
-        if factor_kind == "blocktridiag":
+        if factor_kind in ("blocktridiag", "blocktridiag_f32"):
             if grid_shape is None:
-                raise ValueError("factor_kind='blocktridiag' needs grid_shape")
+                raise ValueError(f"factor_kind={factor_kind!r} needs grid_shape")
             gnx, gny = grid_shape
+            use_f32 = factor_kind == "blocktridiag_f32"
 
             def factor_fn(A, B, sig, mode):
                 from ..ops.blockfactor import (BlockTridiagFactor,
+                                               RefinedFactor,
                                                grid_block_tridiag)
+                from ..ops.operators import ElementOperator
 
                 shifted = A.mats - sig * B.mats
                 D, Esub = grid_block_tridiag(shifted, gnx, gny, ndof=2)
-                return BlockTridiagFactor.from_blocks(D, Esub)
+                if not use_f32:
+                    return BlockTridiagFactor.from_blocks(D, Esub)
+                inner = BlockTridiagFactor.from_blocks(
+                    D.astype(jnp.float32), Esub.astype(jnp.float32))
+                op = ElementOperator(shifted, A.dofs, A.n)
+                return RefinedFactor(inner, op)
 
         self.problem = EigProblem(assemble=self._assemble,
                                   nullspace=self._nullspace,
@@ -262,7 +275,16 @@ class TopologyAnalysis:
             self.profile[f"adjoint norm[{i:2d}]"] = float(r[i])
             self.profile[f"adjoint ortho[{i:2d}]"] = float(o[i])
             self.profile[f"adjoint lam[{i:2d}]"] = float(res.lam[i])
-        self.profile["adjoint residuals"] = np.asarray(info).tolist()
+        self.profile["adjoint residuals"] = np.asarray(info["res"]).tolist()
+        # Per-round residual curves for both solve phases (the reference
+        # records these through iterative-solver callbacks,
+        # natural_frequency.py:444-451).
+        self.profile["adjoint residual history"] = np.asarray(
+            info["hist"]).tolist()
+        self.profile["adjoint iterations"] = int(info["niter"])
+        self.profile["eigensolve iterations"] = int(res.niter)
+        self.profile["eigensolve residuals"] = np.asarray(
+            res.eig_res).tolist()
         return r
 
     def _init_profile(self):
@@ -397,7 +419,7 @@ def make_model(nx=128, ny=64, Lx=1.0, Ly=1.0, rfact=4.0, N=10, Mx=3, My=3,
                       projection=kwargs.pop("projection", False),
                       beta=kwargs.pop("b0", 10.0))
 
-    if kwargs.get("factor_kind") == "blocktridiag":
+    if str(kwargs.get("factor_kind", "")).startswith("blocktridiag"):
         kwargs.setdefault("grid_shape", (nx, ny))
 
     topo = TopologyAnalysis(fltr, mesh.conn, mesh.X, N=N,

@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
+from .collective import pdot, psum, qr_tall
 from .operators import as_operator
 from .lanczos import LanczosResult, _tridiagonal
 
@@ -72,7 +73,7 @@ def are_eigenvalues_repeated(lam, atol=1e-5):
 
 
 def generate_adjoint_correction(lam, Phi, psi, G=None, Phib=None,
-                                eig_atol=1e-5, mode="normal"):
+                                eig_atol=1e-5, mode="normal", axis=None):
     """Correct the adjoint solution along the computed eigenvector directions.
 
     Branchless rebuild of reference :303-391. For *distinct* pairs the
@@ -85,7 +86,7 @@ def generate_adjoint_correction(lam, Phi, psi, G=None, Phib=None,
     lam = jnp.asarray(lam)
     N = lam.shape[0]
     if G is None:
-        G = -Phi.T @ Phib  # (N, N)
+        G = -pdot(Phi.T, Phib, axis)  # (N, N)
 
     if mode == "normal":
         G0 = G
@@ -139,7 +140,7 @@ apply_adjoint_correction = generate_adjoint_correction
 
 
 def total_derivative_weights(lam, Phi, lamb, Phib, psi, adj_corr_data=None,
-                             mode="normal"):
+                             mode="normal", axis=None):
     """Compute the (n, N) weight blocks W_A, W_B of the total derivative.
 
     The total derivative is  df/dx = dAdx(W_A, Phi) -/+ dBdx(W_B, Phi)
@@ -164,7 +165,7 @@ def total_derivative_weights(lam, Phi, lamb, Phib, psi, adj_corr_data=None,
     if adj_corr_data is None:
         adj_corr_data = no_correction(N, Phi.dtype)
     Xi, Eta = adj_corr_data.Xi, adj_corr_data.Eta
-    beta = 0.5 * jnp.sum(Phi * Phib, axis=0)
+    beta = 0.5 * psum(jnp.sum(Phi * Phib, axis=0), axis)
 
     if mode == "normal":
         W_A = Phi * lamb[None, :] + psi + Phi @ Xi
@@ -180,7 +181,7 @@ def total_derivative_weights(lam, Phi, lamb, Phib, psi, adj_corr_data=None,
 
 def add_eig_total_derivative(lam, Phi, lamb, Phib, psi, dAdx, dBdx, dfdx,
                              adj_corr_data=None, mode="normal",
-                             deriv_type="tensor"):
+                             deriv_type="tensor", axis=None):
     """Accumulate the total derivative given the adjoint solution.
 
     ``dAdx(W, V) = sum_i w_i^T (dA/dx) v_i`` over columns (the reference's
@@ -189,7 +190,8 @@ def add_eig_total_derivative(lam, Phi, lamb, Phib, psi, dAdx, dBdx, dfdx,
     """
     del deriv_type  # batched contraction always
     W_A, W_B = total_derivative_weights(lam, Phi, lamb, Phib, psi,
-                                        adj_corr_data=adj_corr_data, mode=mode)
+                                        adj_corr_data=adj_corr_data, mode=mode,
+                                        axis=axis)
     if mode == "normal":
         if dAdx is not None:
             dfdx = dfdx + dAdx(W_A, Phi)
@@ -209,7 +211,7 @@ def add_eig_total_derivative(lam, Phi, lamb, Phib, psi, dAdx, dBdx, dfdx,
 
 
 def eval_adjoint_residual_norm(A, B, lam, Phi, Phib, psi, mode="normal",
-                               b_ortho=False):
+                               b_ortho=False, axis=None):
     """Residual norms and orthogonality of the adjoint equations (ref :185-275).
 
     res[i] = || A psi_i - lam_i B psi_i - b_i ||,
@@ -220,7 +222,7 @@ def eval_adjoint_residual_norm(A, B, lam, Phi, Phib, psi, mode="normal",
     B = as_operator(B)
     lam = jnp.asarray(lam)
     BPhi = B.mv(Phi)
-    proj_coef = jnp.sum(Phi * Phib, axis=0)
+    proj_coef = psum(jnp.sum(Phi * Phib, axis=0), axis)
     bmat = -(Phib - BPhi * proj_coef[None, :])
 
     Apsi = A.mv(psi)
@@ -233,11 +235,11 @@ def eval_adjoint_residual_norm(A, B, lam, Phi, Phib, psi, mode="normal",
         raise ValueError(f"Unknown mode {mode!r}")
 
     if b_ortho:
-        r = r - BPhi @ (Phi.T @ r)
-        ortho = jnp.max(jnp.abs(BPhi.T @ psi), axis=0)
+        r = r - BPhi @ pdot(Phi.T, r, axis)
+        ortho = jnp.max(jnp.abs(pdot(BPhi.T, psi, axis)), axis=0)
     else:
-        ortho = jnp.abs(jnp.sum(BPhi * psi, axis=0))
-    res = jnp.sqrt(jnp.sum(r * r, axis=0))
+        ortho = jnp.abs(psum(jnp.sum(BPhi * psi, axis=0), axis))
+    res = jnp.sqrt(psum(jnp.sum(r * r, axis=0), axis))
     return res, ortho
 
 
@@ -247,7 +249,7 @@ def eval_adjoint_residual_norm(A, B, lam, Phi, Phib, psi, mode="normal",
 
 
 def laa(Phib, B, factor, res: LanczosResult, D0=None, b_ortho=False,
-        mode="normal"):
+        mode="normal", axis=None):
     """Galerkin solution of the adjoint equations in the Lanczos subspace.
 
     Rebuild of reference :394-523, with the (m, N) divided-difference matrix D
@@ -266,7 +268,7 @@ def laa(Phib, B, factor, res: LanczosResult, D0=None, b_ortho=False,
     lam = res.lam[:N]
     sigma = res.sigma
 
-    Yb = V @ Phib  # (m, N)
+    Yb = pdot(V, Phib, axis)  # (m, N)
     C = Ys.T @ Yb  # (m, N); C[i, j] = Ys[:, i] . Yb[:, j]
 
     if D0 is not None:
@@ -322,22 +324,35 @@ def _solve_shifted_lstsq(alpha, H0, r):
 
 def sibk(Phib, A, B, lam, Phi, mode="normal", psi=None, sigma=None,
          factor=None, rtol=1e-10, atol=1e-30, eig_atol=1e-5, maxiter=50,
-         nrestart=2, bs_target=None, update_guess=None, callback=None):
+         nrestart=2, check_every=8, bs_target=None, update_guess=None,
+         callback=None, axis=None):
     """Shift-invert block Krylov adjoint solver.
 
     TPU-native redesign of reference :1052-1328. The reference advances the N
     adjoint systems in blocks of ``bs_target`` (default 1), growing one Krylov
     ladder per block with data-dependent convergence loops. Here the block is
     *always the full set of N right-hand sides*: one shared Krylov space is
-    grown for a fixed ``maxiter`` steps (every factor apply and projection is
-    a blocked GEMM), the N shifted projected systems
-    ``(I - alpha_i H) y_i = r_i`` with ``alpha_i = +/-(lam_i - sigma)`` are
-    solved by batched QR least-squares, and optional ``nrestart`` outer rounds
-    restart from the true residuals. This is equivalent to the reference's
-    ``update_guess=True`` mode taken to its batched limit.
+    grown per round (every factor apply and projection is a blocked GEMM),
+    the N shifted projected systems ``(I - alpha_i H) y_i = r_i`` with
+    ``alpha_i = +/-(lam_i - sigma)`` are solved by batched QR least-squares,
+    and up to ``nrestart`` outer rounds restart from the true residuals. This
+    is the reference's ``update_guess=True`` mode taken to its batched limit.
 
-    Returns (psi, EigCorrection, info) where info[i] is the final residual of
-    adjoint system i (relative to max column norm of Phib).
+    Convergence control (reference :1312-1321 restart budget and :1268-1276
+    per-system exits, made jit-compatible): the ladder is a while_loop that
+    every ``check_every`` steps solves the projected least-squares systems
+    and exits once all N residuals are below ``tol = max(rtol * ||Phib||,
+    atol)``; rounds are a while_loop that stops when the *true* residuals
+    meet the same tolerance. Factor applies therefore track the difficulty
+    of the solve instead of burning the full ``nrestart * maxiter`` budget.
+
+    With ``axis`` set, all DOF-dimension reductions are psum'd over the
+    shard_map axis (seed QR becomes CholeskyQR2).
+
+    Returns (psi, EigCorrection, info) with info = dict(res=(N,) final true
+    relative residuals, niter=total ladder steps run, rounds=rounds run,
+    hist=(nrestart, N) per-round residual history — the jit-compatible form
+    of the reference's callback residual curves, natural_frequency.py:444-451).
     """
     del bs_target, update_guess, callback  # absorbed by the batched design
     A = as_operator(A)
@@ -350,8 +365,8 @@ def sibk(Phib, A, B, lam, Phi, mode="normal", psi=None, sigma=None,
         psi = jnp.zeros_like(Phib)
 
     BPhi = B.mv(Phi)
-    G = -Phi.T @ Phib
-    rnorm0 = jnp.sqrt(jnp.max(jnp.sum(Phib * Phib, axis=0)))
+    G = -pdot(Phi.T, Phib, axis)
+    rnorm0 = jnp.sqrt(jnp.max(psum(jnp.sum(Phib * Phib, axis=0), axis)))
     tol = jnp.maximum(rtol * rnorm0, atol)
 
     if mode == "normal":
@@ -362,7 +377,7 @@ def sibk(Phib, A, B, lam, Phi, mode="normal", psi=None, sigma=None,
         raise ValueError(f"Unknown mode {mode!r}")
 
     def proj(X):
-        return X - BPhi @ (Phi.T @ X)
+        return X - BPhi @ pdot(Phi.T, X, axis)
 
     def op_residual(psi_):
         if mode == "normal":
@@ -371,62 +386,125 @@ def sibk(Phib, A, B, lam, Phi, mode="normal", psi=None, sigma=None,
             Rm = -Phib - (B.mv(psi_) + A.mv(psi_) * lam[None, :])
         return proj(Rm)
 
-    K = maxiter  # ladder steps per round
+    def true_resnorm(psi_):
+        R = op_residual(psi_)
+        return jnp.sqrt(psum(jnp.sum(R * R, axis=0), axis))
+
+    K = maxiter  # max ladder steps per round
     col = jnp.arange(K + N)
+
+    eyeK = jnp.eye(K + N, K, dtype=dtype)
+    eyeK_low = jnp.eye(K + N, K, k=-N, dtype=dtype)
+
+    def solve_all(H, r0):
+        """Batched shifted lstsq over the (possibly truncated) ladder.
+
+        Ladder columns that were never built (all-zero H columns after an
+        early exit) are replaced by unit columns at rows >= t+N — NOT at
+        their own row j, which real columns' residual lives on: a unit at
+        (j, j) would let the least-squares zero the beta-coupling residual
+        rows with spurious components and report false convergence.
+        """
+        cn = jnp.sum(H * H, axis=0)
+        unit = (cn == 0.0).astype(dtype)
+        I_mat = eyeK * (1.0 - unit)[None, :] + eyeK_low * unit[None, :]
+        rhs = jnp.zeros((K + N, N), dtype=dtype).at[:N].set(r0)
+
+        def solve_one(alpha_i, r_i):
+            return _lstsq_qr(I_mat - alpha_i * H, r_i)
+
+        return jax.vmap(solve_one, in_axes=(0, 1), out_axes=(1, 0))(
+            alphas, rhs)
 
     def one_round(psi_):
         R = op_residual(psi_)
-        # Seed the block: QR of the projected residuals (R is already in the
-        # projected subspace, so the Q columns stay there).
-        Wseed, r0 = jnp.linalg.qr(R)  # (n, N), (N, N)
+        # Seed the block: thin QR of the projected residuals (R is already in
+        # the projected subspace, so the Q columns stay there).
+        Wseed, r0 = qr_tall(R, axis)  # (n, N), (N, N)
         W = jnp.zeros((K + N, n), dtype=dtype).at[:N].set(Wseed.T)
-        Z = jnp.zeros((K, n), dtype=dtype)
+        Z = jnp.zeros((K, n), dtype=dtype) + 0.0 * Wseed[None, :, 0]
         H = jnp.zeros((K + N, K), dtype=dtype)
 
-        def body(t, carry):
-            W, Z, H = carry
+        def step(t, W, Z, H):
             z = factor.mv(W[t])
             if mode == "normal":
                 w = proj(B.mv(z))
             else:
                 w = proj(A.mv(z))
             mask = (col < t + N).astype(dtype)
-            h1 = (W @ w) * mask
+            h1 = pdot(W, w, axis) * mask
             w = w - W.T @ h1
-            h2 = (W @ w) * mask
+            h2 = pdot(W, w, axis) * mask
             w = w - W.T @ h2
             w = proj(w)
             h = h1 + h2
-            nw = jnp.sqrt(w @ w)
-            W = W.at[t + N].set(w / nw)
+            nw2 = psum(w @ w, axis)
+            ok = nw2 > 1e-60
+            nw = jnp.sqrt(jnp.where(ok, nw2, 1.0))
+            W = W.at[t + N].set(jnp.where(ok, 1.0, 0.0) * w / nw)
             Z = Z.at[t].set(z)
-            H = H.at[:, t].set(h.at[t + N].set(nw))
+            H = H.at[:, t].set(h.at[t + N].set(jnp.where(ok, nw, 0.0)))
             return W, Z, H
 
-        W, Z, H = jax.lax.fori_loop(0, K, body, (W, Z, H))
+        def cond(carry):
+            t, done = carry[0], carry[1]
+            return (t < K) & ~done
 
-        rhs = jnp.zeros((K + N, N), dtype=dtype).at[:N].set(r0)
+        def body(carry):
+            t, done, W, Z, H = carry
+            W, Z, H = step(t, W, Z, H)
+            t1 = t + 1
+            # (t1 >= N keeps the masked lstsq well-posed: zero ladder columns
+            # must lie outside the rhs rows)
+            do_check = ((t1 % check_every) == 0) & (t1 < K) & (t1 >= N)
 
-        def solve_one(alpha_i, r_i):
-            return _solve_shifted_lstsq(alpha_i, H, r_i)
+            def check():
+                # Ladder columns >= t1 are zero, so the masked lstsq solves
+                # the truncated systems exactly (zero extra components).
+                _, res = solve_all(H, r0)
+                return jnp.all(res < tol)
 
-        Ymat, resids = jax.vmap(solve_one, in_axes=(0, 1), out_axes=(1, 0))(
-            alphas, rhs)
+            done = jax.lax.cond(do_check, check, lambda: jnp.asarray(False))
+            return t1, done, W, Z, H
+
+        carry = (jnp.asarray(0), jnp.asarray(False), W, Z, H)
+        t_end, _, W, Z, H = jax.lax.while_loop(cond, body, carry)
+
+        Ymat, resids = solve_all(H, r0)
         psi_ = psi_ + Z.T @ Ymat
-        return psi_, resids
+        return psi_, resids, t_end
 
-    resids = jnp.full((N,), jnp.inf, dtype=dtype)
-    for _ in range(max(1, nrestart)):
-        psi, resids = one_round(psi)
+    hist = jnp.full((max(1, nrestart), N), jnp.nan, dtype=dtype)
+
+    def round_cond(carry):
+        r, psi_, resn, _, _ = carry
+        return (r < max(1, nrestart)) & jnp.any(resn > tol)
+
+    def round_body(carry):
+        r, psi_, _, hist, nsteps = carry
+        psi_, resids, t_end = one_round(psi_)
+        hist = hist.at[r].set(resids)
+        return r + 1, psi_, true_resnorm(psi_), hist, nsteps + t_end
+
+    resn0 = true_resnorm(psi)
+    carry = (jnp.asarray(0), psi, resn0, hist, jnp.asarray(0))
+    rounds, psi, resn, hist, nsteps = jax.lax.while_loop(
+        round_cond, round_body, carry)
 
     # Enforce the orthogonality constraint Phi^T B psi = 0 explicitly before
     # the eigendirection fold-in: the Krylov update can leak tiny in-span
     # ghost components that the nearly-singular shifted solves amplify, and
     # the correction supplies the exact in-span values anyway.
-    psi = psi - Phi @ (BPhi.T @ psi)
+    psi = psi - Phi @ pdot(BPhi.T, psi, axis)
     psi, data = generate_adjoint_correction(lam, Phi, psi, G=G,
                                             eig_atol=eig_atol, mode=mode)
-    info = resids / jnp.maximum(rnorm0, 1e-300)
+    denom = jnp.maximum(rnorm0, 1e-300)
+    info = {
+        "res": resn / denom,
+        "niter": nsteps,
+        "rounds": rounds,
+        "hist": hist / denom,
+    }
     return psi, data, info
 
 
@@ -437,11 +515,13 @@ def sibk(Phib, A, B, lam, Phi, mode="normal", psi=None, sigma=None,
 
 def pcpg(Phib, A, B, lam, Phi, mode="normal", psi=None, sigma=None,
          factor=None, rtol=1e-10, atol=1e-30, eig_atol=1e-5, maxiter=100,
-         reset=25, callback=None):
+         reset=25, callback=None, axis=None):
     """PCPG adjoint solver (Alvin, AIAA J. 1997), reference :699-869.
 
     All N systems advance together as an (n, N) block with per-column scalar
-    coefficients; converged columns are frozen by masking.
+    coefficients; converged columns are frozen by masking, and the loop exits
+    once every column converges (reference :832-840). info carries the
+    per-iteration residual history (the reference's callback curves).
     """
     del callback
     A = as_operator(A)
@@ -453,7 +533,7 @@ def pcpg(Phib, A, B, lam, Phi, mode="normal", psi=None, sigma=None,
         psi = jnp.zeros_like(Phib)
 
     BPhi = B.mv(Phi)
-    rnorm0 = jnp.sqrt(jnp.max(jnp.sum(Phib * Phib, axis=0)))
+    rnorm0 = jnp.sqrt(jnp.max(psum(jnp.sum(Phib * Phib, axis=0), axis)))
     tol = jnp.maximum(rtol * rnorm0, atol)
 
     if mode == "normal":
@@ -462,19 +542,25 @@ def pcpg(Phib, A, B, lam, Phi, mode="normal", psi=None, sigma=None,
         R = -Phib - (B.mv(psi) + A.mv(psi) * lam[None, :])
     else:
         raise ValueError(f"Unknown mode {mode!r}")
-    G = Phi.T @ R
+    G = pdot(Phi.T, R, axis)
     R = R - BPhi @ G
 
-    def body(k, carry):
-        psi, R, P0, zTr_prev = carry
-        resn = jnp.sqrt(jnp.sum(R * R, axis=0))
+    def cond(carry):
+        k, psi, R, P0, zTr_prev, hist = carry
+        resn2 = psum(jnp.sum(R * R, axis=0), axis)
+        return (k < maxiter) & jnp.any(resn2 > tol * tol)
+
+    def body(carry):
+        k, psi, R, P0, zTr_prev, hist = carry
+        resn = jnp.sqrt(psum(jnp.sum(R * R, axis=0), axis))
+        hist = hist.at[k].set(resn)
         active = resn > tol
 
-        Zp = R - BPhi @ (Phi.T @ R)
+        Zp = R - BPhi @ pdot(Phi.T, R, axis)
         Z = factor.mv(Zp)
-        Z = Z - Phi @ (BPhi.T @ Z)
+        Z = Z - Phi @ pdot(BPhi.T, Z, axis)
 
-        zTr = jnp.sum(Z * R, axis=0)
+        zTr = psum(jnp.sum(Z * R, axis=0), axis)
         is_reset = (k % reset) == 0
         beta = jnp.where(is_reset, 0.0,
                          zTr / jnp.where(zTr_prev == 0.0, 1.0, zTr_prev))
@@ -483,9 +569,11 @@ def pcpg(Phib, A, B, lam, Phi, mode="normal", psi=None, sigma=None,
         tA = A.mv(P)
         tB = B.mv(P)
         if mode == "normal":
-            denom = jnp.sum(tA * P, axis=0) - lam * jnp.sum(tB * P, axis=0)
+            denom = psum(jnp.sum(tA * P, axis=0)
+                         - lam * jnp.sum(tB * P, axis=0), axis)
         else:
-            denom = jnp.sum(tB * P, axis=0) + lam * jnp.sum(tA * P, axis=0)
+            denom = psum(jnp.sum(tB * P, axis=0)
+                         + lam * jnp.sum(tA * P, axis=0), axis)
         step = jnp.where(active,
                          zTr / jnp.where(denom == 0.0, 1.0, denom), 0.0)
 
@@ -494,16 +582,23 @@ def pcpg(Phib, A, B, lam, Phi, mode="normal", psi=None, sigma=None,
             R = R - step[None, :] * (tA - tB * lam[None, :])
         else:
             R = R - step[None, :] * (tB + tA * lam[None, :])
-        return psi, R, P, zTr
+        return k + 1, psi, R, P, zTr, hist
 
-    P0 = jnp.zeros_like(R)
+    P0 = 0.0 * R
     zTr0 = jnp.ones((N,), dtype=R.dtype)
-    psi, R, _, _ = jax.lax.fori_loop(0, maxiter, body, (psi, R, P0, zTr0))
+    hist0 = jnp.full((maxiter, N), jnp.nan, dtype=R.dtype)
+    niter, psi, R, _, _, hist = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0), psi, R, P0, zTr0, hist0))
 
-    psi = psi - Phi @ (BPhi.T @ psi)
+    psi = psi - Phi @ pdot(BPhi.T, psi, axis)
     psi, data = generate_adjoint_correction(lam, Phi, psi, G=G,
                                             eig_atol=eig_atol, mode=mode)
-    info = jnp.sqrt(jnp.sum(R * R, axis=0)) / jnp.maximum(rnorm0, 1e-300)
+    denom = jnp.maximum(rnorm0, 1e-300)
+    info = {
+        "res": jnp.sqrt(psum(jnp.sum(R * R, axis=0), axis)) / denom,
+        "niter": niter,
+        "hist": hist / denom,
+    }
     return psi, data, info
 
 
@@ -514,12 +609,15 @@ def pcpg(Phib, A, B, lam, Phi, mode="normal", psi=None, sigma=None,
 
 def pgmres(Phib, A, B, lam, Phi, mode="normal", psi=None, sigma=None,
            factor=None, rtol=1e-10, atol=1e-30, eig_atol=1e-5, maxiter=50,
-           callback=None):
+           check_every=8, callback=None, axis=None):
     """Projected GMRES adjoint solver, reference :872-1040.
 
     Each eigenvector has its own shifted operator, so the Arnoldi recurrences
     are independent; they are batched with vmap (the factor and matvec then
-    run as batched GEMMs over the N systems).
+    run as batched GEMMs over the N systems). Every ``check_every`` steps the
+    Hessenberg least-squares residual is evaluated and a converged system's
+    recurrence freezes (reference's per-iteration exit, :1019-1033); info
+    carries the per-check residual history.
     """
     del callback
     A = as_operator(A)
@@ -532,7 +630,7 @@ def pgmres(Phib, A, B, lam, Phi, mode="normal", psi=None, sigma=None,
         psi = jnp.zeros_like(Phib)
 
     BPhi = B.mv(Phi)
-    rnorm0 = jnp.sqrt(jnp.max(jnp.sum(Phib * Phib, axis=0)))
+    rnorm0 = jnp.sqrt(jnp.max(psum(jnp.sum(Phib * Phib, axis=0), axis)))
     tol = jnp.maximum(rtol * rnorm0, atol)
 
     if mode == "normal":
@@ -541,22 +639,36 @@ def pgmres(Phib, A, B, lam, Phi, mode="normal", psi=None, sigma=None,
         R0 = -Phib - (B.mv(psi) + A.mv(psi) * lam[None, :])
     else:
         raise ValueError(f"Unknown mode {mode!r}")
-    G = Phi.T @ R0
+    G = pdot(Phi.T, R0, axis)
     R0 = R0 - BPhi @ G
 
     K = maxiter
     col = jnp.arange(K + 1)
+    nhist = K // check_every + 1
+
+    def _safe_H(H):
+        """Replace all-zero Hessenberg columns (steps never run after an
+        early exit) with unit subdiagonal columns so the lstsq stays full
+        rank; their solution components are exactly zero."""
+        cn = jnp.sum(H * H, axis=0)
+        unit = (cn == 0.0).astype(H.dtype)
+        return H + jnp.eye(K + 1, K, k=-1, dtype=H.dtype) * unit[None, :]
 
     def solve_mode(r0, lam_i):
-        beta0 = jnp.sqrt(r0 @ r0)
+        beta0 = jnp.sqrt(psum(r0 @ r0, axis))
         W = jnp.zeros((K + 1, n), dtype=dtype)
         W = W.at[0].set(jnp.where(beta0 > 0.0, r0 / jnp.where(beta0 == 0.0, 1.0, beta0), 0.0))
         H = jnp.zeros((K + 1, K), dtype=dtype)
-        Z = jnp.zeros((K, n), dtype=dtype)
+        Z = jnp.zeros((K, n), dtype=dtype) + 0.0 * r0[None, :]
+        hist = jnp.full((nhist,), jnp.nan, dtype=dtype)
 
-        def body(j, carry):
-            W, H, Z = carry
-            zp = W[j] - BPhi @ (Phi.T @ W[j])
+        def cond(carry):
+            j, done = carry[0], carry[1]
+            return (j < K) & ~done
+
+        def body(carry):
+            j, done, W, H, Z, hist = carry
+            zp = W[j] - BPhi @ pdot(Phi.T, W[j], axis)
             z = factor.mv(zp)
             tA = A.mv(z)
             tB = B.mv(z)
@@ -564,35 +676,56 @@ def pgmres(Phib, A, B, lam, Phi, mode="normal", psi=None, sigma=None,
                 w = tA - lam_i * tB
             else:
                 w = tB + lam_i * tA
-            w = w - BPhi @ (Phi.T @ w)
+            w = w - BPhi @ pdot(Phi.T, w, axis)
             mask = (col <= j).astype(dtype)
-            h1 = (W @ w) * mask
+            h1 = pdot(W, w, axis) * mask
             w = w - W.T @ h1
-            h2 = (W @ w) * mask
+            h2 = pdot(W, w, axis) * mask
             w = w - W.T @ h2
             h = h1 + h2
-            nw = jnp.sqrt(w @ w)
-            W = W.at[j + 1].set(w / jnp.where(nw == 0.0, 1.0, nw))
-            H = H.at[:, j].set(h.at[j + 1].set(nw))
+            nw2 = psum(w @ w, axis)
+            ok = nw2 > 1e-60
+            nw = jnp.sqrt(jnp.where(ok, nw2, 1.0))
+            W = W.at[j + 1].set(jnp.where(ok, 1.0, 0.0) * w / nw)
+            H = H.at[:, j].set(h.at[j + 1].set(jnp.where(ok, nw, 0.0)))
             Z = Z.at[j].set(z)
-            return W, H, Z
+            j1 = j + 1
+            do_check = (j1 % check_every) == 0
 
-        W, H, Z = jax.lax.fori_loop(0, K, body, (W, H, Z))
+            def check(hist):
+                rhs = jnp.zeros(K + 1, dtype=dtype).at[0].set(beta0)
+                _, res = _lstsq_qr(_safe_H(H), rhs)
+                hist = hist.at[j1 // check_every].set(res)
+                return res < tol, hist
+
+            done, hist = jax.lax.cond(
+                do_check, check,
+                lambda hist: (jnp.asarray(False), hist), hist)
+            return j1, done, W, H, Z, hist
+
+        carry = (jnp.asarray(0), jnp.asarray(False), W, H, Z, hist)
+        niter, _, W, H, Z, hist = jax.lax.while_loop(cond, body, carry)
         rhs = jnp.zeros(K + 1, dtype=dtype).at[0].set(beta0)
-        y, res = _lstsq_qr(H, rhs)
+        y, res = _lstsq_qr(_safe_H(H), rhs)
         dpsi = Z.T @ y
-        return dpsi, res
+        return dpsi, res, niter, hist
 
-    dpsi, res = jax.vmap(solve_mode, in_axes=(1, 0), out_axes=(1, 0))(R0, lam)
+    dpsi, res, niters, hist = jax.vmap(
+        solve_mode, in_axes=(1, 0), out_axes=(1, 0, 0, 0))(R0, lam)
     # Skip systems whose initial residual already met the tolerance.
-    beta0 = jnp.sqrt(jnp.sum(R0 * R0, axis=0))
+    beta0 = jnp.sqrt(psum(jnp.sum(R0 * R0, axis=0), axis))
     use = (beta0 >= tol).astype(dtype)
     psi = psi + dpsi * use[None, :]
 
-    psi = psi - Phi @ (BPhi.T @ psi)
+    psi = psi - Phi @ pdot(BPhi.T, psi, axis)
     psi, data = generate_adjoint_correction(lam, Phi, psi, G=G,
                                             eig_atol=eig_atol, mode=mode)
-    info = res / jnp.maximum(rnorm0, 1e-300)
+    denom = jnp.maximum(rnorm0, 1e-300)
+    info = {
+        "res": res / denom,
+        "niter": jnp.sum(niters),
+        "hist": hist / denom,
+    }
     return psi, data, info
 
 

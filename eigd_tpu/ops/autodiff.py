@@ -32,7 +32,14 @@ from .operators import as_operator
 
 @dataclasses.dataclass(frozen=True)
 class EighGenConfig:
-    """Static configuration of the eigh_gen primitive (hashable)."""
+    """Static configuration of the eigh_gen primitive (hashable).
+
+    lanczos_tol : enables the adaptive early-exit Lanczos iteration (normal
+        mode) with this convergence tolerance; None runs all m steps.
+    axis : shard_map axis name when the DOF dimension is sharded over a
+        device mesh (SURVEY.md §5.7-5.8); all solver inner products are then
+        psum-reduced over it.
+    """
 
     N: int = 6
     m: int = 60
@@ -45,6 +52,8 @@ class EighGenConfig:
     eig_atol: float = 1e-5
     factor_kind: str = "cholesky"
     seed: int = 12345
+    lanczos_tol: float = None
+    axis: str = None
 
 
 # ---------------------------------------------------------------------------
@@ -79,33 +88,34 @@ def solve_eig_adjoint(A, B, res, factor, lam_bar, Phi_bar, cfg):
       A_bar =  W_A Phi^T,  B_bar = -W_B Phi^T   (normal mode)
       A_bar =  W_A Phi^T,  B_bar = +W_B Phi^T   (buckling mode)
     """
-    psi0 = adj.laa(Phi_bar, B, factor, res, b_ortho=True, mode=cfg.mode)
+    psi0 = adj.laa(Phi_bar, B, factor, res, b_ortho=True, mode=cfg.mode,
+                   axis=cfg.axis)
     if cfg.adjoint_method == "laa":
         psi, data = adj.generate_adjoint_correction(
             res.lam, res.Phi, psi0, Phib=Phi_bar, eig_atol=cfg.eig_atol,
-            mode=cfg.mode)
+            mode=cfg.mode, axis=cfg.axis)
     elif cfg.adjoint_method == "sibk":
         psi, data, _ = adj.sibk(
             Phi_bar, A, B, res.lam, res.Phi, mode=cfg.mode, psi=psi0,
             sigma=res.sigma, factor=factor, rtol=cfg.adjoint_rtol,
             eig_atol=cfg.eig_atol, maxiter=cfg.adjoint_maxiter,
-            nrestart=cfg.nrestart)
+            nrestart=cfg.nrestart, axis=cfg.axis)
     elif cfg.adjoint_method == "pcpg":
         psi, data, _ = adj.pcpg(
             Phi_bar, A, B, res.lam, res.Phi, mode=cfg.mode, psi=psi0,
             factor=factor, rtol=cfg.adjoint_rtol, eig_atol=cfg.eig_atol,
-            maxiter=cfg.adjoint_maxiter)
+            maxiter=cfg.adjoint_maxiter, axis=cfg.axis)
     elif cfg.adjoint_method == "pgmres":
         psi, data, _ = adj.pgmres(
             Phi_bar, A, B, res.lam, res.Phi, mode=cfg.mode, psi=psi0,
             factor=factor, rtol=cfg.adjoint_rtol, eig_atol=cfg.eig_atol,
-            maxiter=cfg.adjoint_maxiter)
+            maxiter=cfg.adjoint_maxiter, axis=cfg.axis)
     else:
         raise ValueError(f"Unknown adjoint method {cfg.adjoint_method!r}")
 
     W_A, W_B = adj.total_derivative_weights(
         res.lam, res.Phi, lam_bar, Phi_bar, psi, adj_corr_data=data,
-        mode=cfg.mode)
+        mode=cfg.mode, axis=cfg.axis)
     return W_A, W_B, res.Phi
 
 
@@ -143,11 +153,15 @@ class EigProblem:
 
     factor(A, B, sigma, mode), if given, overrides the default dense
     Cholesky shift-invert factor (e.g. with a BlockTridiagFactor).
+
+    v0(theta), if given, supplies the Lanczos start vector (used by the
+    sharded path to zero padded DOFs; default is a fixed-seed random vector).
     """
 
     assemble: Callable  # theta -> (A, B) operators
     nullspace: Callable = None  # theta -> (k, n) rows, optional
     factor: Callable = None  # (A, B, sigma, mode) -> factor, optional
+    v0: Callable = None  # theta -> (n,) start vector, optional
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(1, 2))
@@ -169,9 +183,11 @@ def _forward_ops(theta, problem, A, B, cfg):
         from .lanczos import b_orthonormalize_rows
 
         U0 = problem.nullspace(theta)
-        deflate = b_orthonormalize_rows(U0, B.mv)
+        deflate = b_orthonormalize_rows(U0, B.mv, axis=cfg.axis)
+    v0 = problem.v0(theta) if problem.v0 is not None else None
     res = lanczos_solve(A, B, factor, cfg.sigma, cfg.N, cfg.m,
-                        mode=cfg.mode, seed=cfg.seed, deflate=deflate)
+                        mode=cfg.mode, seed=cfg.seed, deflate=deflate,
+                        axis=cfg.axis, tol=cfg.lanczos_tol, v0=v0)
     return res.lam, res.Phi, (res, factor)
 
 

@@ -92,7 +92,11 @@ class BlockTridiagFactor:
         self.nb, self.b = shape_info
 
     @classmethod
-    def from_blocks(cls, D, E):
+    def from_blocks(cls, D, E, store_dtype=None):
+        """Factorize (in the blocks' dtype) and optionally store the factor
+        in a narrower dtype (f32): halves HBM for the 2*nx*b^2-word factor
+        and runs the apply scans at f32 MXU rate; wrap with RefinedFactor
+        to recover f64 solve accuracy via iterative refinement."""
         nb, b = D.shape[0], D.shape[1]
         eye = jnp.eye(b, dtype=D.dtype)
 
@@ -108,10 +112,17 @@ class BlockTridiagFactor:
             F_next = Ei @ Linv.T  # F_i = E_i Linv_i^T
             return F_next, (Linv, F_next)
 
-        Epad_tail = jnp.concatenate([E, jnp.zeros((1, b, b), dtype=D.dtype)])
-        F0 = jnp.zeros((b, b), dtype=D.dtype)
+        Epad_tail = jnp.concatenate(
+            [E, jnp.zeros((nb - E.shape[0], b, b), dtype=D.dtype)])
+        # 0*D[0] (not jnp.zeros) so the carry inherits the shard_map variance
+        # of the blocks (scan carries must match their outputs' mesh axes).
+        F0 = 0.0 * D[0]
         _, (Linv_all, F_all) = jax.lax.scan(body, F0, (D, Epad_tail))
-        return cls(Linv_all, F_all[:-1], (nb, b))
+        F_sub = F_all[:-1]
+        if store_dtype is not None:
+            Linv_all = Linv_all.astype(store_dtype)
+            F_sub = F_sub.astype(store_dtype)
+        return cls(Linv_all, F_sub, (nb, b))
 
     @property
     def shape(self):
@@ -126,6 +137,7 @@ class BlockTridiagFactor:
         squeeze = x.ndim == 1
         if squeeze:
             x = x[:, None]
+        x = x.astype(self.Linv.dtype)  # scans run at the factor's precision
         k = x.shape[1]
         xb = x.reshape(self.nb, self.b, k)
         Fpad = jnp.concatenate(
@@ -137,7 +149,7 @@ class BlockTridiagFactor:
             y = Linv @ (xi - Fprev @ y_prev)
             return y, y
 
-        y0 = jnp.zeros((self.b, k), dtype=x.dtype)
+        y0 = 0.0 * xb[0]  # inherits shard_map variance (see from_blocks)
         _, Y = jax.lax.scan(fwd, y0, (xb, self.Linv, Fpad))
 
         # backward: z_i = Linv_i^T (y_i - F_i^T z_{i+1})
@@ -164,3 +176,74 @@ class BlockTridiagFactor:
     def tree_unflatten(cls, aux, children):
         Linv, F = children
         return cls(Linv, F, aux)
+
+
+@jax.tree_util.register_pytree_node_class
+class RefinedFactor:
+    """Mixed-precision exact solve: f32 factor + f64 iterative refinement.
+
+    apply(x) solves A y = x to f64 working accuracy by refining the f32
+    factor's solution with f64 residuals of the matrix-free operator:
+        y_{k+1} = y_k + M32^{-1} (x - A y_k)
+    Converges at rate ~kappa(A)*eps_f32 per step; the loop is a while_loop
+    gated on the f64 residual (cap ``max_refine``). The heavy O(nx*b^2)
+    GEMM scans run at f32 MXU rate; the f64 work per step is one
+    matrix-free element matvec. This is the scheme the factor's cost model
+    needs at scale: the stored factor is 2*nx*b^2 f32 words (e.g. ~5.7 GB
+    at 1M DOF on a 700x700 grid) instead of f64 block inverses.
+    """
+
+    def __init__(self, inner, op, tol=1e-13, max_refine=20):
+        self.inner = inner  # f32 BlockTridiagFactor (or any approx factor)
+        self.op = op  # f64 operator for A (matrix-free residuals)
+        self.tol = tol
+        self.max_refine = max_refine
+
+    @property
+    def shape(self):
+        return self.op.shape
+
+    @property
+    def dtype(self):
+        return jnp.float64
+
+    def _approx(self, r):
+        return self.inner.mv(r.astype(jnp.float32)).astype(jnp.float64)
+
+    def mv(self, x):
+        squeeze = x.ndim == 1
+        if squeeze:
+            x = x[:, None]
+        x = x.astype(jnp.float64)
+        nrm2 = jnp.sum(x * x, axis=0)
+        tol2 = (self.tol**2) * jnp.maximum(nrm2, 1e-300)
+
+        y = self._approx(x)
+
+        def cond(carry):
+            k, y, r2 = carry
+            return (k < self.max_refine) & jnp.any(r2 > tol2)
+
+        def body(carry):
+            k, y, _ = carry
+            r = x - self.op.mv(y)
+            y = y + self._approx(r)
+            r2 = jnp.sum(r * r, axis=0)
+            return k + 1, y, r2
+
+        _, y, _ = jax.lax.while_loop(
+            cond, body, (jnp.asarray(0), y, jnp.full_like(nrm2, jnp.inf)))
+        if squeeze:
+            y = y[:, 0]
+        return y
+
+    def __call__(self, x):
+        return self.mv(x)
+
+    def tree_flatten(self):
+        return (self.inner, self.op), (self.tol, self.max_refine)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        inner, op = children
+        return cls(*children, *aux)

@@ -1,0 +1,70 @@
+"""Collective helpers for DOF-dimension sharding (SURVEY.md §5.7-5.8).
+
+Every solver in eigd_tpu takes an optional ``axis`` argument: ``None`` means
+single-device (plain reductions); a string names a ``shard_map`` mesh axis
+over which the DOF dimension of all long vectors is sharded. In that case
+each inner product over the DOF dimension is a local contraction followed by
+a ``psum`` over the axis — the tall-skinny-GEMM + all-reduce pattern that is
+the TPU-native replacement for the MPI domain decomposition the reference
+reaches only through TACS (reference crm.py:11,71).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+
+
+def psum(x, axis):
+    """All-reduce over the shard axis (no-op when axis is None)."""
+    return x if axis is None else jax.lax.psum(x, axis)
+
+
+def pdot(x, y, axis):
+    """Inner product / contraction over the (possibly sharded) DOF dim."""
+    return psum(x @ y, axis)
+
+
+def pcolnorms2(X, axis):
+    """Squared column norms of a DOF-sharded (n, k) block."""
+    return psum(jnp.sum(X * X, axis=0), axis)
+
+
+def qr_tall(R, axis):
+    """Thin QR of a DOF-sharded tall (n, k) block.
+
+    axis=None: plain ``jnp.linalg.qr``. Sharded: CholeskyQR2 — the Gram
+    matrix is one psum-reduced GEMM, its Cholesky replicates on every
+    device, and a second pass restores orthogonality to working precision
+    (standard distributed tall-skinny QR; communication = two (k, k) psums).
+    """
+    if axis is None:
+        return jnp.linalg.qr(R)
+
+    def cholqr(R):
+        # Column scaling first: adjoint residual blocks mix columns of very
+        # different norms (converged vs active systems), and the Gram matrix
+        # squares that conditioning — unscaled CholQR loses orthogonality
+        # exactly when some systems have converged.
+        cn = jnp.sqrt(psum(jnp.sum(R * R, axis=0), axis))
+        s = jnp.where(cn > 0.0, cn, 1.0)
+        Rs = R / s[None, :]
+        G = psum(Rs.T @ Rs, axis)
+        # Tiny diagonal regularization keeps the Cholesky finite for
+        # (near-)rank-deficient blocks; the resulting r is still a valid
+        # representation Q r ~= R at that rank.
+        eps = 1e-14 + 1e-300
+        L = jnp.linalg.cholesky(G + eps * jnp.eye(G.shape[0], dtype=G.dtype))
+        Q = solve_triangular(L, Rs.T, lower=True).T
+        return Q, L.T * s[None, :]
+
+    Q, r1 = cholqr(R)
+    # Second pass restores orthogonality; its input is already normalized.
+    cn1 = jnp.ones(R.shape[1], dtype=R.dtype)
+    G2 = psum(Q.T @ Q, axis)
+    L2 = jnp.linalg.cholesky(
+        G2 + 1e-14 * jnp.eye(G2.shape[0], dtype=G2.dtype))
+    Q = solve_triangular(L2, Q.T, lower=True).T
+    del cn1
+    return Q, (L2.T @ r1)

@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .collective import pdot, psum
 from .operators import as_operator
 
 
@@ -92,8 +93,10 @@ def full_rayleigh_ritz(BV, W_raw, sigma, mode):
     return theta, Y, lam, order
 
 
-def lanczos_iteration(factor_mv, B_mv, v0, m, deflate=None):
-    """Run m shift-invert Lanczos steps with full B-orthogonalization (CGS2).
+def lanczos_iteration(factor_mv, B_mv, v0, m, deflate=None, axis=None,
+                      tol=None, nwanted=None, check_every=8, min_iter=None):
+    """Run up to m shift-invert Lanczos steps with full B-orthogonalization
+    (CGS2), optionally exiting early once the wanted Ritz pairs converge.
 
     The iterated operator is ``factor(B @ v)`` (reference :1500); the inner
     product is ``<x, y>_B = y^T B x`` (:1503).
@@ -105,18 +108,33 @@ def lanczos_iteration(factor_mv, B_mv, v0, m, deflate=None):
     B_mv : callable
         Applies B.
     v0 : (n,) start vector (not yet normalized).
-    m : static number of iterations.
+    m : static max number of iterations.
+    axis : optional shard_map axis name; when set, the DOF dimension of all
+        long vectors is sharded over it and every inner product is
+        psum-reduced (SURVEY.md §5.7).
+    tol : optional convergence tolerance. When set, the fori_loop becomes a
+        while_loop that every ``check_every`` steps solves the reduced
+        tridiagonal problem and exits once the ``nwanted`` largest-theta
+        Ritz pairs satisfy ``|beta_i Y[i-1, j]| < tol * max(|theta|)`` — the
+        reference's convergence test (:1441-1451) made jit-compatible.
+        Early exit assumes normal mode (wanted modes = largest theta).
+    nwanted : number of Ritz pairs that must converge (required with tol).
+    min_iter : minimum iterations before the first convergence check
+        (default nwanted + 2).
 
     Returns
     -------
-    V : (m+1, n) B-orthonormal basis (rows are basis vectors).
+    V : (m+1, n) B-orthonormal basis (rows are basis vectors; rows past the
+        last performed iteration are zero).
     BV : (m+1, n) cached B @ V rows.
     alpha : (m,) diagonal Lanczos coefficients.
-    beta : (m,) sub-diagonal coefficients; beta[m-1] is the final residual norm.
+    beta : (m,) sub-diagonal coefficients; beta[niter-1] is the final
+        residual norm.
     W_raw : (m, n) raw operator outputs, W_raw[i] = Op v_i before
         orthogonalization. One extra GEMM against BV yields the *fully
         measured* projected operator for the final Rayleigh-Ritz (see
         full_rayleigh_ritz).
+    niter : number of iterations actually performed (== m unless tol is set).
 
     deflate : optional (U, BU) pair of (k, n) row bases with U B-orthonormal;
         every Krylov vector is kept B-orthogonal to span(U). Used to project
@@ -131,14 +149,14 @@ def lanczos_iteration(factor_mv, B_mv, v0, m, deflate=None):
         U, BU = deflate
 
         def defl(w):
-            return w - U.T @ (BU @ w)
+            return w - U.T @ pdot(BU, w, axis)
     else:
         def defl(w):
             return w
 
     v0 = defl(v0)
     bv0 = B_mv(v0)
-    b0 = jnp.sqrt(v0 @ bv0)
+    b0 = jnp.sqrt(pdot(v0, bv0, axis))
     v0 = v0 / b0
     bv0 = bv0 / b0
 
@@ -146,37 +164,99 @@ def lanczos_iteration(factor_mv, B_mv, v0, m, deflate=None):
     BV = jnp.zeros((m + 1, n), dtype=dtype).at[0].set(bv0)
     alpha = jnp.zeros(m, dtype=dtype)
     beta = jnp.zeros(m, dtype=dtype)
-    W_raw = jnp.zeros((m, n), dtype=dtype)
+    # 0*v0 (not plain zeros) so carries inherit the shard_map variance
+    W_raw = jnp.zeros((m, n), dtype=dtype) + 0.0 * v0[None, :]
 
     col = jnp.arange(m + 1)
 
-    def body(i, carry):
-        V, BV, alpha, beta, W_raw = carry
+    def step(i, V, BV, alpha, beta, W_raw):
         w = factor_mv(BV[i])
         W_raw = W_raw.at[i].set(w)
 
         mask = (col <= i).astype(dtype)
         # Two-pass classical Gram-Schmidt in the B inner product. The B-inner
-        # products against the whole basis are GEMMs with the cached BV.
+        # products against the whole basis are GEMMs with the cached BV
+        # (psum-reduced tall-skinny GEMMs when sharded).
         w = defl(w)
-        h1 = (BV @ w) * mask
+        h1 = pdot(BV, w, axis) * mask
         w = w - V.T @ h1
-        h2 = (BV @ w) * mask
+        h2 = pdot(BV, w, axis) * mask
         w = w - V.T @ h2
         w = defl(w)
         h = h1 + h2
 
         bw = B_mv(w)
-        b = jnp.sqrt(w @ bw)
-        V = V.at[i + 1].set(w / b)
-        BV = BV.at[i + 1].set(bw / b)
+        b2 = pdot(w, bw, axis)
+        # Breakdown guard: an invariant subspace makes beta -> 0; freeze the
+        # recurrence instead of dividing by ~0 and poisoning the basis with
+        # NaNs (the reference never guards this; SURVEY.md §5.3).
+        ok = b2 > 1e-60
+        b = jnp.sqrt(jnp.where(ok, b2, 1.0))
+        V = V.at[i + 1].set(jnp.where(ok, 1.0, 0.0) * w / b)
+        BV = BV.at[i + 1].set(jnp.where(ok, 1.0, 0.0) * bw / b)
         alpha = alpha.at[i].set(h[i])
-        beta = beta.at[i].set(b)
+        beta = beta.at[i].set(jnp.where(ok, b, 0.0))
         return V, BV, alpha, beta, W_raw
 
-    V, BV, alpha, beta, W_raw = jax.lax.fori_loop(
-        0, m, body, (V, BV, alpha, beta, W_raw))
-    return V, BV, alpha, beta, W_raw
+    if tol is None:
+        def body(i, carry):
+            return step(i, *carry)
+
+        V, BV, alpha, beta, W_raw = jax.lax.fori_loop(
+            0, m, body, (V, BV, alpha, beta, W_raw))
+        return V, BV, alpha, beta, W_raw, jnp.asarray(m)
+
+    # --- adaptive variant: while_loop with periodic convergence checks ----
+    if nwanted is None:
+        raise ValueError("tol requires nwanted")
+    if min_iter is None:
+        min_iter = nwanted + 2
+    min_iter = min(min_iter, m)
+    row = jnp.arange(m)
+
+    def converged(i1, alpha, beta):
+        """True when the nwanted largest-theta Ritz pairs of the leading
+        (i1, i1) tridiagonal block are converged."""
+        active = row < i1
+        # Decouple the inactive block: zero its diagonal/off-diagonals; its
+        # spurious theta = 0 eigenvalues sort below the wanted (largest) ones.
+        a = jnp.where(active, alpha, 0.0)
+        b = jnp.where(row < i1 - 1, beta, 0.0)
+        T = jnp.diag(a) + jnp.diag(b[: m - 1], k=1) + jnp.diag(b[: m - 1], k=-1)
+        theta, Y = jnp.linalg.eigh(T)
+        sel = jnp.argsort(-theta)[:nwanted]
+        blast = beta[i1 - 1]
+        yl = Y[i1 - 1, sel]
+        res = jnp.abs(blast * yl)
+        scale = jnp.maximum(jnp.max(jnp.abs(theta)), 1.0)
+        return jnp.all(res < tol * scale)
+
+    def cond(carry):
+        i, done = carry[0], carry[1]
+        return (i < m) & ~done
+
+    def body(carry):
+        i, done, V, BV, alpha, beta, W_raw = carry
+        V, BV, alpha, beta, W_raw = step(i, V, BV, alpha, beta, W_raw)
+        i1 = i + 1
+        do_check = ((i1 % check_every) == 0) & (i1 >= min_iter)
+        done = jax.lax.cond(
+            do_check,
+            lambda: converged(i1, alpha, beta),
+            lambda: jnp.asarray(False),
+        )
+        return i1, done, V, BV, alpha, beta, W_raw
+
+    carry = (jnp.asarray(0), jnp.asarray(False), V, BV, alpha, beta, W_raw)
+    niter, _, V, BV, alpha, beta, W_raw = jax.lax.while_loop(cond, body, carry)
+
+    # Rows at/after niter carry no operator information (W_raw there is
+    # zero); zero them so the fully-measured Rayleigh-Ritz sees an exactly
+    # decoupled inactive block.
+    keep = (jnp.arange(m + 1) < niter)[:, None].astype(dtype)
+    V = V * keep
+    BV = BV * keep
+    return V, BV, alpha, beta, W_raw, niter
 
 
 @jax.tree_util.register_pytree_node_class
@@ -201,6 +281,7 @@ class LanczosResult:
     lam_all: jax.Array  # (m,) all mapped Ritz values (eigh order)
     eig_res: jax.Array  # (N,) per-mode residual |beta_m Y[m-1, j]|
     sigma: jax.Array  # scalar shift
+    niter: jax.Array  # iterations actually performed (== m when fixed-trip)
 
     def tree_flatten(self):
         fields = dataclasses.fields(self)
@@ -228,7 +309,7 @@ class LanczosResult:
         return self.theta[self.order]
 
 
-def b_orthonormalize_rows(U0, B_mv):
+def b_orthonormalize_rows(U0, B_mv, axis=None):
     """B-orthonormalize a small set of row vectors (modified Gram-Schmidt).
 
     U0 : (k, n) rows. Returns (U, BU) with U B-orthonormal. Differentiable;
@@ -238,45 +319,65 @@ def b_orthonormalize_rows(U0, B_mv):
     for i in range(U0.shape[0]):
         u = U0[i]
         for v, bv in zip(rows, brows):
-            u = u - (bv @ u) * v
+            u = u - pdot(bv, u, axis) * v
         bu = B_mv(u)
-        nrm = jnp.sqrt(u @ bu)
+        nrm = jnp.sqrt(pdot(u, bu, axis))
         rows.append(u / nrm)
         brows.append(bu / nrm)
     return jnp.stack(rows), jnp.stack(brows)
 
 
 def lanczos_solve(A, B, factor, sigma, N, m, mode="normal", seed=12345,
-                  v0=None, deflate=None) -> LanczosResult:
+                  v0=None, deflate=None, axis=None, tol=None,
+                  check_every=8) -> LanczosResult:
     """Full shift-invert Lanczos solve returning the N smallest eigenpairs.
 
     jit-compatible (static N, m, mode). Functional counterpart of the
-    reference's BasicLanczos.solve (:1453-1650).
+    reference's BasicLanczos.solve (:1453-1650). With ``tol`` set the
+    iteration exits early once the N wanted pairs converge (normal mode
+    only); with ``axis`` set all DOF-dimension reductions are psum'd over
+    that shard_map axis.
     """
     A = as_operator(A)
     B = as_operator(B)
-    n = A.shape[0]
     dtype = A.dtype
 
     if v0 is None:
+        n = A.shape[0]
         key = jax.random.PRNGKey(seed)
         v0 = jax.random.uniform(key, (n,), dtype=dtype, minval=-1.0, maxval=1.0)
 
-    V, BV, alpha, beta, W_raw = lanczos_iteration(factor.mv, B.mv, v0, m,
-                                                  deflate=deflate)
-    Hf = BV[:m] @ W_raw.T
+    if tol is not None and mode != "normal":
+        # Early exit picks wanted modes as largest-theta, valid for the
+        # normal spectral map only; buckling runs fixed-trip.
+        tol = None
+
+    V, BV, alpha, beta, W_raw, niter = lanczos_iteration(
+        factor.mv, B.mv, v0, m, deflate=deflate, axis=axis, tol=tol,
+        nwanted=N, check_every=check_every)
+    Hf = psum(BV[:m] @ W_raw.T, axis)
     H = 0.5 * (Hf + Hf.T)
     # Jacobi-polished reduced eigensolve: XLA's eigh alone caps eigenvector
     # accuracy near 1e-7 on TPU (QDWH at emulated-f64 precision).
     from .jacobi import eigh_accurate
 
     theta, Y = eigh_accurate(H)
-    lam_all, order = map_ritz_values(theta, sigma, mode)
+    if tol is not None:
+        # The decoupled inactive block contributes theta ~ 0 Ritz values
+        # (possibly tiny negatives from rounding) whose mapped lam would
+        # sort *first*; push them to +inf so they sort last instead.
+        scale = jnp.max(jnp.abs(theta))
+        lam_all = jnp.where(jnp.abs(theta) > 1e-12 * scale,
+                            1.0 / theta + sigma, jnp.inf)
+        order = jnp.argsort(lam_all)
+    else:
+        lam_all, order = map_ritz_values(theta, sigma, mode)
 
     sel = order[:N]
     lam = lam_all[sel]
     Y0 = Y[:, sel]
-    eig_res = jnp.abs(beta[m - 1] * Y0[m - 1, :])
+    last = jnp.clip(niter - 1, 0, m - 1)
+    eig_res = jnp.abs(beta[last] * Y0[last, :])
     Phi = V[:m].T @ Y0
 
     return LanczosResult(
@@ -293,6 +394,7 @@ def lanczos_solve(A, B, factor, sigma, N, m, mode="normal", seed=12345,
         lam_all=lam_all,
         eig_res=eig_res,
         sigma=jnp.asarray(sigma, dtype=dtype),
+        niter=niter,
     )
 
 
@@ -307,7 +409,8 @@ class BasicLanczos:
     """
 
     def __init__(self, N=10, m=60, tol=1e-14, Ntarget=None, eig_atol=1e-5,
-                 mode="normal", seed=12345, ortho_type="full"):
+                 mode="normal", seed=12345, ortho_type="full",
+                 adaptive=False):
         if mode not in ("normal", "buckling"):
             raise ValueError(f"Unknown mode {mode!r}")
         if Ntarget is not None and not isinstance(Ntarget, int):
@@ -328,20 +431,32 @@ class BasicLanczos:
         self.eig_atol = eig_atol
         self.mode = mode
         self.seed = seed
+        self.adaptive = adaptive
         self.res: Optional[LanczosResult] = None
 
     def solve(self, A, B, factor, sigma):
+        if self.m > as_operator(A).shape[0]:
+            # The Krylov space cannot exceed the problem dimension; clamp
+            # (the reference's ARPACK shim instead falls back to dense eigh
+            # for k >= n, arpack.py:328-351 — eigd_tpu's full-ortho Lanczos
+            # at m = n *is* a dense solve).
+            self.m = int(as_operator(A).shape[0])
         self.A = as_operator(A)
         self.B = as_operator(B)
         self.factor = factor
         self.sigma = sigma
 
         N = self.Ntarget if self.Ntarget is not None else self.N
-        res = lanczos_solve(self.A, self.B, factor, sigma, self.m, self.m,
-                            mode=self.mode, seed=self.seed)
+        # Solve only the N wanted Ritz *vectors* (+ slack for Ntarget
+        # growth); all m Ritz values come along for free in lam_all.
+        nvec = min(self.m, N + 3) if self.Ntarget is not None else N
+        res = lanczos_solve(self.A, self.B, factor, sigma, nvec, self.m,
+                            mode=self.mode, seed=self.seed,
+                            tol=(self.tol if self.adaptive else None))
 
-        # Adaptive N selection so lam[N-1] and lam[N] are distinct (host side).
-        lam_sorted = np.asarray(res.lam)
+        # Adaptive N selection so lam[N-1] and lam[N] are distinct
+        # (host side, reference :1614-1634).
+        lam_sorted = np.asarray(res.lam_all[res.order])
         if self.Ntarget is not None:
             while N < self.m - 1 and abs(
                 lam_sorted[N - 1] - lam_sorted[N]
@@ -355,10 +470,24 @@ class BasicLanczos:
                     "numerically repeated."
                 )
 
+        if N > nvec:
+            # Ntarget grew past the precomputed vectors: widen from the
+            # stored basis (one extra (n, m) x (m, N) GEMM).
+            sel = res.order[:N]
+            Y0 = res.Y[:, sel]
+            Phi = res.V[: res.m].T @ Y0
+            last = int(np.clip(np.asarray(res.niter) - 1, 0, res.m - 1))
+            eig_res = jnp.abs(res.beta[last] * Y0[last, :])
+            lam = res.lam_all[sel]
+        else:
+            lam = res.lam[:N]
+            Phi = res.Phi[:, :N]
+            eig_res = res.eig_res[:N]
+
         # Trim to the selected N modes.
         self.res = LanczosResult(
-            lam=res.lam[:N],
-            Phi=res.Phi[:, :N],
+            lam=lam,
+            Phi=Phi,
             V=res.V,
             BV=res.BV,
             alpha=res.alpha,
@@ -368,13 +497,21 @@ class BasicLanczos:
             Y=res.Y,
             order=res.order,
             lam_all=res.lam_all,
-            eig_res=res.eig_res[:N],
+            eig_res=eig_res,
             sigma=res.sigma,
+            niter=res.niter,
         )
         self.lam0 = self.res.lam
         self.Phi = self.res.Phi
         self.eig_res = np.asarray(self.res.eig_res)
+        self.niter = int(np.asarray(res.niter))
         self.fail = bool(np.any(self.eig_res > self.tol))
+        if self.fail:
+            warnings.warn(
+                "BasicLanczos: eigensolve did not converge to tol="
+                f"{self.tol:g} (max residual {float(self.eig_res.max()):g} "
+                f"after {self.niter} iterations)."
+            )
         return self.lam0, self.Phi
 
     def solve_adjoint(self, Phib, method="sibk", psi=None, rtol=1e-10,

@@ -159,8 +159,9 @@ Operator = Union[DenseOperator, DiagonalOperator, ElementOperator]
 
 
 def as_operator(obj) -> Operator:
-    """Coerce an array / operator into an Operator."""
-    if isinstance(obj, (DenseOperator, DiagonalOperator, ElementOperator)):
+    """Coerce an array / operator into an Operator. Anything with an ``mv``
+    method (e.g. parallel.sharded.GridHaloOperator) passes through."""
+    if hasattr(obj, "mv"):
         return obj
     arr = jnp.asarray(obj)
     if arr.ndim == 1:

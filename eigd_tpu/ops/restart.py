@@ -130,7 +130,8 @@ def thick_restart_solve(A, B, factor, sigma, N, m, k=None, ncycle=4,
     return LanczosResult(lam=lam, Phi=Phi, V=V, BV=BV, alpha=alpha,
                          beta=beta, H=H, theta=theta, Y=Y, order=order,
                          lam_all=lam_all, eig_res=eig_res,
-                         sigma=jnp.asarray(sigma, dtype=dtype))
+                         sigma=jnp.asarray(sigma, dtype=dtype),
+                         niter=jnp.asarray(m))
 
 
 class IRAM:

@@ -1,2 +1,9 @@
 from .mesh import make_mesh  # noqa: F401
-from .sharded import sharded_dense_assembler, sharded_element_matvec  # noqa: F401
+from .grid import GridPartition, make_partition  # noqa: F401
+from .sharded import (  # noqa: F401
+    GridHaloOperator,
+    SchwarzPCGFactor,
+    make_sharded_objective,
+    sharded_element_matvec,
+    sharded_train_step,
+)

@@ -1,73 +1,271 @@
 """Multi-device tests on the virtual 8-device CPU mesh (the TPU analog of
-multi-node testing, SURVEY.md §4)."""
+multi-node testing, SURVEY.md §4): halo-exchange matvec, Schwarz-PCG factor,
+and serial-vs-sharded gradient parity through the full eigensolve+adjoint."""
+
+from functools import partial
 
 import numpy as np
 import pytest
 
 import jax
 import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
 
+from eigd_tpu.fem import assembly as fem
+from eigd_tpu.fem.model import make_grid
+from eigd_tpu.fem.quad import plane_stress_tables
+from eigd_tpu.ops.operators import ElementOperator
 from eigd_tpu.parallel import make_mesh
+from eigd_tpu.parallel.grid import (element_gather_index, local_dof_map,
+                                    make_partition, pad_line_mask)
 from eigd_tpu.parallel.sharded import (
+    GridHaloOperator,
+    SchwarzPCGFactor,
+    make_sharded_objective,
     pad_elements,
-    sharded_dense_assembler,
     sharded_element_matvec,
 )
+
+NDEV = 8
 
 
 @pytest.fixture(scope="module")
 def mesh():
-    assert len(jax.devices()) >= 8, jax.devices()
-    return make_mesh(8, axis="elems")
+    assert len(jax.devices()) >= NDEV, jax.devices()
+    return make_mesh(NDEV, axis="grid")
 
 
-def _toy_operator(seed=0, nelems=20, n=30, d=4):
+def _grid_setup(nx, ny, seed=0):
+    """Common host setup: grid, tables, element matrices, partition maps."""
+    grid = make_grid(nx, ny, 2.0, 1.0)
+    conn = jnp.asarray(grid.conn)
+    X = jnp.asarray(grid.X)
+    C0 = fem.plane_stress_C0()
+    dofs = fem.element_dof_map(conn)
+    Be, He, detJ = plane_stress_tables(X, conn)
     rng = np.random.default_rng(seed)
-    mats = rng.standard_normal((nelems, d, d))
-    mats = mats + mats.transpose(0, 2, 1)
-    dofs = rng.integers(0, n, size=(nelems, d)).astype(np.int32)
-    return jnp.asarray(mats), jnp.asarray(dofs), n
+    rhoE = jnp.asarray(rng.uniform(0.4, 1.0, size=conn.shape[0]))
+    K = fem.stiffness_matrix(rhoE, Be, detJ, dofs, 2 * grid.nnodes, C0)
+    M = fem.mass_matrix(rhoE, He, detJ, dofs, 2 * grid.nnodes)
+
+    part = make_partition(nx, ny, NDEV, ndof=2)
+    gidx = element_gather_index(part)
+    gsafe = np.maximum(gidx, 0)
+    real = (gidx >= 0).astype(np.float64)
+    dofs_l = jnp.asarray(local_dof_map(part))
+    mats_cm = {
+        "K": jnp.asarray(np.asarray(K.mats)[gsafe]
+                         * real[:, None, None]),
+        "M": jnp.asarray(np.asarray(M.mats)[gsafe]
+                         * real[:, None, None]),
+    }
+    return grid, K, M, part, mats_cm, dofs_l
+
+
+def _to_padded(x, part):
+    """Global (n,) vector -> padded concatenated-shards layout."""
+    x = np.asarray(x)
+    out = np.zeros(part.n_padded, dtype=x.dtype)
+    b = part.line_dofs
+    for line in range(part.nlines):
+        d, lo = divmod(line, part.L)
+        out[d * part.n_local + lo * b: d * part.n_local + (lo + 1) * b] = \
+            x[line * b: (line + 1) * b]
+    return jnp.asarray(out)
+
+
+def _from_padded(y, part):
+    y = np.asarray(y)
+    out = np.zeros(part.n, dtype=y.dtype)
+    b = part.line_dofs
+    for line in range(part.nlines):
+        d, lo = divmod(line, part.L)
+        out[line * b: (line + 1) * b] = \
+            y[d * part.n_local + lo * b: d * part.n_local + (lo + 1) * b]
+    return out
 
 
 class TestShardedOps:
     def test_sharded_matvec_matches_serial(self, mesh):
-        mats, dofs, n = _toy_operator()
-        mats_p, dofs_p = pad_elements([mats, dofs], 8)
-        mv = sharded_element_matvec(mesh, "elems", mats_p, dofs_p, n)
-        x = jnp.asarray(np.random.default_rng(1).standard_normal(n))
-
-        from eigd_tpu.ops.operators import ElementOperator
-
-        ref = ElementOperator(mats, dofs, n).mv(x)
+        rng = np.random.default_rng(0)
+        nelems, n, d = 20, 30, 4
+        mats = rng.standard_normal((nelems, d, d))
+        mats = mats + mats.transpose(0, 2, 1)
+        dofs = rng.integers(0, n, size=(nelems, d)).astype(np.int32)
+        mats_p, dofs_p = pad_elements([jnp.asarray(mats),
+                                       jnp.asarray(dofs)], NDEV)
+        mv = sharded_element_matvec(mesh, "grid", mats_p, dofs_p, n)
+        x = jnp.asarray(rng.standard_normal(n))
+        ref = ElementOperator(jnp.asarray(mats), jnp.asarray(dofs), n).mv(x)
         np.testing.assert_allclose(np.asarray(mv(x)), np.asarray(ref),
                                    atol=1e-12)
 
-    def test_sharded_assembler_matches_dense(self, mesh):
-        mats, dofs, n = _toy_operator(seed=2)
-        mats_p, dofs_p = pad_elements([mats, dofs], 8)
-        assemble = sharded_dense_assembler(mesh, "elems", n)
-        out = assemble(mats_p, dofs_p)
+    def test_halo_matvec_matches_serial(self, mesh):
+        nx, ny = 13, 5  # deliberately not divisible by NDEV
+        grid, K, M, part, mats_cm, dofs_l = _grid_setup(nx, ny)
+        x = np.random.default_rng(1).standard_normal(part.n)
+        xp = _to_padded(x, part)
 
-        from eigd_tpu.ops.operators import ElementOperator
+        @partial(shard_map, mesh=mesh, in_specs=(P("grid"), P("grid")),
+                 out_specs=P("grid"))
+        def apply(mats_l, x_l):
+            op = GridHaloOperator(mats_l, dofs_l, part, "grid")
+            return op.mv(x_l)
 
-        ref = ElementOperator(mats, dofs, n).to_dense()
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                   atol=1e-12)
+        y = _from_padded(apply(mats_cm["K"], xp), part)
+        ref = np.asarray(K.mv(jnp.asarray(x)))
+        np.testing.assert_allclose(y, ref, atol=1e-10)
 
-    def test_gradient_through_shard_map(self, mesh):
-        """VJP flows through the sharded assembly (needed by eigh_gen bwd)."""
-        mats, dofs, n = _toy_operator(seed=3)
-        mats_p, dofs_p = pad_elements([mats, dofs], 8)
-        assemble = sharded_dense_assembler(mesh, "elems", n)
+        # blocked rhs
+        Xb = np.random.default_rng(2).standard_normal((part.n, 3))
+        Xp = jnp.stack([_to_padded(Xb[:, j], part) for j in range(3)], axis=1)
 
-        def f(scale):
-            out = assemble(mats_p * scale, dofs_p)
-            return jnp.sum(out**2)
+        @partial(shard_map, mesh=mesh, in_specs=(P("grid"), P("grid")),
+                 out_specs=P("grid"))
+        def apply_blk(mats_l, x_l):
+            op = GridHaloOperator(mats_l, dofs_l, part, "grid")
+            return op.mv(x_l)
 
-        g = jax.grad(f)(1.0)
+        Yp = np.asarray(apply_blk(mats_cm["K"], Xp))
+        for j in range(3):
+            np.testing.assert_allclose(
+                _from_padded(Yp[:, j], part),
+                np.asarray(K.mv(jnp.asarray(Xb[:, j]))), atol=1e-10)
+
+    def test_schwarz_pcg_factor(self, mesh):
+        """(K - sigma*M)^{-1} via sharded Schwarz-PCG matches a dense solve."""
+        nx, ny = 11, 4
+        grid, K, M, part, mats_cm, dofs_l = _grid_setup(nx, ny, seed=3)
+        sigma = -10.0
+        shifted_cm = mats_cm["K"] - sigma * mats_cm["M"]
+        b = np.random.default_rng(4).standard_normal(part.n)
+        bp = _to_padded(b, part)
+
+        @partial(shard_map, mesh=mesh, in_specs=(P("grid"), P("grid")),
+                 out_specs=P("grid"))
+        def solve(mats_l, b_l):
+            f = SchwarzPCGFactor.build(mats_l, dofs_l, part, "grid",
+                                       maxiter=200, tol=1e-13)
+            return f.mv(b_l)
+
+        x = _from_padded(solve(shifted_cm, bp), part)
+        dense = np.asarray(K.to_dense() - sigma * M.to_dense())
+        ref = np.linalg.solve(dense, b)
+        np.testing.assert_allclose(x, ref, rtol=1e-8, atol=1e-10)
+
+
+def _serial_objective(nx, ny, N, m, sigma, qweight, fltr, grid):
+    """Serial twin of make_sharded_objective's objective: ElementOperator
+    assembly + dense Cholesky factor + the same physical-DOF Q aggregate."""
+    from eigd_tpu.ops.autodiff import EigProblem, EighGenConfig, eigh_gen
+
+    conn = jnp.asarray(grid.conn)
+    X = jnp.asarray(grid.X)
+    C0 = fem.plane_stress_C0()
+    dofs = fem.element_dof_map(conn)
+    Be, He, detJ = plane_stress_tables(X, conn)
+    nvars = 2 * grid.nnodes
+    line_dofs = 2 * (ny + 1)
+
+    def assemble(rhoE):
+        K = fem.stiffness_matrix(rhoE, Be, detJ, dofs, nvars, C0)
+        M = fem.mass_matrix(rhoE, He, detJ, dofs, nvars)
+        return K, M
+
+    def factor_fn(A, B, sig, mode):
+        from eigd_tpu.ops.blockfactor import (BlockTridiagFactor,
+                                              grid_block_tridiag)
+
+        shifted = A.mats - sig * B.mats
+        D, E = grid_block_tridiag(shifted, nx, ny, ndof=2)
+        return BlockTridiagFactor.from_blocks(D, E)
+
+    def nullspace_fn(rhoE):
+        n = nvars
+        tx = jnp.zeros(n).at[0::2].set(1.0)
+        ty = jnp.zeros(n).at[1::2].set(1.0)
+        rot = jnp.zeros(n).at[0::2].set(-X[:, 1]).at[1::2].set(X[:, 0])
+        return jnp.stack([tx, ty, rot])
+
+    problem = EigProblem(assemble=assemble, factor=factor_fn,
+                         nullspace=nullspace_fn)
+    cfg = EighGenConfig(N=N, m=m, sigma=sigma, adjoint_method="sibk",
+                        adjoint_maxiter=40, nrestart=2)
+
+    line = jnp.arange(nvars) // line_dofs
+    within = jnp.arange(nvars) % line_dofs
+    w = jnp.sin(0.37 * line + 0.11 * within)
+
+    def objective(x):
+        rho = fltr.apply(x)
+        rhoE = fem.element_density(rho, conn)
+        lam, Q = eigh_gen(rhoE, problem, cfg)
+        qagg = jnp.sum((w[:, None] * Q) ** 2)
+        return -jnp.sum(jnp.sqrt(lam)) + qweight * qagg
+
+    return objective
+
+
+class TestGradientParity:
+    def test_serial_vs_sharded_gradient(self, mesh):
+        """The full objective gradient (filter -> assembly -> eigensolve ->
+        adjoint -> aggregate) agrees between the serial path (ElementOperator
+        + block-tridiag Cholesky) and the 8-device sharded path (halo matvec
+        + Schwarz-PCG + psum'd Lanczos/SIBK)."""
+        nx, ny, N = 14, 6, 2
+        obj_sh, fltr, mesh2, part = make_sharded_objective(
+            NDEV, nx, ny, N=N, m=40, cg_maxiter=300, mesh=mesh,
+            adjoint_maxiter=40)
+        grid = make_grid(nx, ny, 2.0, 1.0)
+        obj_se = _serial_objective(nx, ny, N, 40, -10.0, 1e-3, fltr, grid)
+
+        x0 = 0.8 * jnp.ones(fltr.num_design_vars) + 0.1 * jnp.sin(
+            jnp.arange(fltr.num_design_vars, dtype=jnp.float64))
+
+        with mesh:
+            v_sh, g_sh = jax.value_and_grad(obj_sh)(x0)
+        v_se, g_se = jax.value_and_grad(obj_se)(x0)
+
+        # Cross-path agreement is limited by the sharded CG factor tolerance
+        # (1e-13 on the solves -> ~1e-8 on eigenvector aggregates).
+        assert abs(float(v_sh) - float(v_se)) / abs(float(v_se)) < 1e-6
+        scale = float(jnp.max(jnp.abs(g_se)))
+        np.testing.assert_allclose(np.asarray(g_sh) / scale,
+                                   np.asarray(g_se) / scale, atol=1e-6)
+
+        # The sharded gradient is exactly consistent with the sharded
+        # forward: central finite difference along a random direction.
+        pert = jnp.asarray(np.random.default_rng(7).uniform(
+            size=x0.shape))
         h = 1e-6
-        fd = (f(1.0 + h) - f(1.0 - h)) / (2 * h)
-        assert abs(float(g) - float(fd)) / abs(float(fd)) < 1e-7
+        with mesh:
+            vp = obj_sh(x0 + h * pert)
+            vm = obj_sh(x0 - h * pert)
+        fd = (float(vp) - float(vm)) / (2 * h)
+        ans = float(pert @ g_sh)
+        assert abs(ans - fd) / abs(fd) < 1e-7, (ans, fd)
+
+    @pytest.mark.slow
+    def test_sharded_gradient_parity_50k_dof(self, mesh):
+        """Parity at a size where sharding matters (>= 50k DOF)."""
+        nx, ny, N = 250, 99, 2  # 2*(251*100) = 50,200 DOF
+        obj_sh, fltr, mesh2, part = make_sharded_objective(
+            NDEV, nx, ny, N=N, m=40, cg_maxiter=400, mesh=mesh,
+            adjoint_maxiter=40)
+        assert part.n >= 50_000
+        grid = make_grid(nx, ny, 2.0, 1.0)
+        obj_se = _serial_objective(nx, ny, N, 40, -10.0, 1e-3, fltr, grid)
+
+        x0 = 0.9 * jnp.ones(fltr.num_design_vars)
+        with mesh:
+            v_sh, g_sh = jax.value_and_grad(obj_sh)(x0)
+        v_se, g_se = jax.value_and_grad(obj_se)(x0)
+        assert abs(float(v_sh) - float(v_se)) / abs(float(v_se)) < 1e-6
+        scale = float(jnp.max(jnp.abs(g_se)))
+        np.testing.assert_allclose(np.asarray(g_sh) / scale,
+                                   np.asarray(g_se) / scale,
+                                   atol=1e-6)
 
 
 class TestGraftEntry:
