@@ -1,16 +1,25 @@
 """Benchmark: N smallest eigenpairs + full adjoint gradient of a plane-stress
 topology problem, on the default JAX backend (the real TPU under the driver).
 
-Baseline: the reference's pipeline shape on CPU — SciPy SuperLU factorization
-+ ARPACK shift-invert eigensolve + the same number of factor applications the
-TPU adjoint performs (SpLuOperator counting is the reference's own cost proxy,
-eigenvector_derivatives.py:16-22).
+TPU path (one monolithic jitted program — measured: the staged-eager split
+used in round 1 cost ~100x in tunnel dispatch overhead):
+  filter -> stencil assembly -> block-cyclic-reduction f32 factor + f64
+  iterative refinement -> adaptive shift-invert Lanczos (rigid modes
+  deflated) -> LAA + adaptive SIBK adjoint -> total derivative, end to end
+  under one jax.jit.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference's pipeline shape on CPU — SciPy SuperLU
+factorization + ARPACK shift-invert eigensolve + the same number of factor
+applications the TPU adjoint performs (SpLuOperator counting is the
+reference's own cost proxy, eigenvector_derivatives.py:16-22).
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} on stdout;
+diagnostics go to stderr.
 """
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -20,41 +29,41 @@ import jax.numpy as jnp
 
 jax.config.update("jax_enable_x64", True)
 
-NX = int(os.environ.get("EIGD_BENCH_NX", 64))
-NY = int(os.environ.get("EIGD_BENCH_NY", 32))
+NX = int(os.environ.get("EIGD_BENCH_NX", 512))
+NY = int(os.environ.get("EIGD_BENCH_NY", 256))
 N_MODES = 6
+M_LANCZOS = 54
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_topo():
+    from eigd_tpu.models.natural_frequency import make_model
+
+    return make_model(nx=NX, ny=NY, Lx=2.0, Ly=1.0, N=N_MODES, rfact=2.0,
+                      m=M_LANCZOS, factor_kind="bcr_f32", lanczos_tol=1e-12,
+                      adjoint_options={"maxiter": 60, "nrestart": 2})
 
 
 def tpu_run():
-    """Forward eigensolve + adjoint gradient, staged execution.
-
-    NOTE: deliberately NOT one monolithic jit — the axon remote-compile
-    tunnel handles the moderate per-stage executables (lanczos fori_loop,
-    sibk ladder, eigh, ...) in minutes and caches them persistently, while a
-    single fused program stalls its AOT compiler. Each hot loop is still a
-    single compiled XLA computation; only the stage boundaries dispatch
-    eagerly.
-    """
-    from eigd_tpu.models.natural_frequency import make_model
-
-    topo = make_model(nx=NX, ny=NY, Lx=2.0, Ly=1.0, N=N_MODES, rfact=2.0)
+    topo = make_topo()
     x0 = jnp.asarray(topo.x)
 
-    def objective_seeds(lam, Q):
-        def f(lam, Q):
-            return jnp.sum(jnp.sqrt(lam)) + jnp.sum(Q[:8, :] ** 2)
-        v, grads = jax.value_and_grad(f, argnums=(0, 1))(lam, Q)
-        return v, grads
+    def objective(x):
+        lam, Q, rho, rhoE = topo._solve_fn(x)
+        return jnp.sum(jnp.sqrt(lam)) + jnp.sum(Q[:8, :] ** 2)
 
+    @jax.jit
     def run(x):
-        (lam, Q, rho, rhoE), vjp = jax.vjp(topo._solve_fn, x)
-        v, (lamb, Qb) = objective_seeds(lam, Q)
-        (g,) = vjp((lamb, Qb, jnp.zeros_like(rho), jnp.zeros_like(rhoE)))
-        return v, g
+        return jax.value_and_grad(objective)(x)
 
-    # warmup / compile all stages
+    t0 = time.perf_counter()
     v, g = run(x0)
     g.block_until_ready()
+    compile_time = time.perf_counter() - t0
+    log(f"compile+first run: {compile_time:.1f}s  value={float(v):.6f}")
 
     times = []
     for _ in range(3):
@@ -62,7 +71,23 @@ def tpu_run():
         v, g = run(x0)
         g.block_until_ready()
         times.append(time.perf_counter() - t0)
+    log(f"steady-state runs: {[round(t, 3) for t in times]}")
     return min(times), float(v), np.asarray(g)
+
+
+def mfu_estimate(wall):
+    """Rough model FLOP count / wall / peak. Dominant terms: the f32 BCR
+    factor build (~8 nb b^3) and the worst-case factor/matvec applies."""
+    b = 2 * (NY + 1)
+    nb = NX + 1
+    n = nb * b
+    build = 8.0 * nb * b**3  # f32
+    apply_f32 = 2.5 * 2 * nb * b * b  # per vector
+    matvec = 2 * 36 * n  # stencil, per vector
+    napply = (M_LANCZOS + 2 * 60 + 20) * 6  # worst case incl. refinement
+    flops = build + napply * (apply_f32 + matvec)
+    peak = 394e12 / 2  # v5e f32-ish peak (bf16 394 TF/s)
+    return flops / wall / peak
 
 
 def cpu_baseline():
@@ -72,9 +97,8 @@ def cpu_baseline():
     from scipy.sparse import linalg as spla
 
     from eigd_tpu.fem import assembly as fem
-    from eigd_tpu.models.natural_frequency import make_model
 
-    topo = make_model(nx=NX, ny=NY, Lx=2.0, Ly=1.0, N=N_MODES, rfact=2.0)
+    topo = make_topo()
     rho = topo.fltr.apply(topo.x)
     rhoE = fem.element_density(rho, topo.conn)
     K_op, M_op = topo._assemble(rhoE)
@@ -100,9 +124,8 @@ def cpu_baseline():
     OPinv = spla.LinearOperator((n, n), matvec=opinv)
     lam, Q = spla.eigsh(K, k=N_MODES + 3, M=M, sigma=sigma, which="LM",
                         OPinv=OPinv)
-    # adjoint-equivalent factor applications: the TPU path performs the
-    # Lanczos solves inside eigsh already; the reverse pass costs
-    # 2 restarts x 60 ladder steps single-vector solves + 1 blocked LAA solve.
+    # adjoint-equivalent factor applications: the TPU reverse pass runs up
+    # to 2 restarts x 60 single-vector ladder steps + 1 blocked LAA solve.
     rng = np.random.default_rng(0)
     for _ in range(120):
         lu.solve(rng.standard_normal(n))
@@ -112,14 +135,22 @@ def cpu_baseline():
 
 def main():
     tpu_time, val, grad = tpu_run()
+    assert np.all(np.isfinite(grad)), "non-finite gradient"
+    log(f"MFU estimate: {mfu_estimate(tpu_time) * 100:.1f}% "
+        f"(worst-case flop model)")
     try:
-        base_time, _ = cpu_baseline()
-    except Exception:
+        t0 = time.perf_counter()
+        base_time, lam = cpu_baseline()
+        log(f"CPU baseline: {base_time:.1f}s (total incl assembly "
+            f"{time.perf_counter() - t0:.1f}s), lam[3:]={lam[3:6]}")
+    except Exception as e:  # pragma: no cover
+        log(f"CPU baseline failed: {e}")
         base_time = float("nan")
     n_dof = 2 * (NX + 1) * (NY + 1)
     print(json.dumps({
         "metric": f"wall time: {N_MODES} eigenpairs + adjoint gradient, "
-                  f"{NX}x{NY} plane-stress topology ({n_dof} DOF)",
+                  f"{NX}x{NY} plane-stress topology ({n_dof} DOF), "
+                  "monolithic jit",
         "value": round(tpu_time, 4),
         "unit": "s",
         "vs_baseline": round(base_time / tpu_time, 3)

@@ -13,6 +13,11 @@ import os
 import jax
 
 jax.config.update("jax_enable_x64", True)
+# TPU f32 matmuls default to bf16 passes (eps ~ 8e-3): that silently
+# destroys the SPD Schur complements of the f32 factorization path (NaN
+# Cholesky at scale). Force true-f32 (6-pass) matmul precision everywhere;
+# f64 is unaffected.
+jax.config.update("jax_default_matmul_precision", "highest")
 
 # Persistent compilation cache: first compiles of the jitted solver cores are
 # expensive (especially for the f64 CPU test configuration); cache them across

@@ -82,9 +82,12 @@ def stiffness_matrix(rhoE, Be, detJ, dofs, nvars, C0, ptype="simp", p=3.0,
     Be: (nq, nelems, 3, 8), detJ: (nq, nelems).
     """
     c = stiffness_interp(rhoE, ptype=ptype, p=p, q=q, rho0=rho0)
-    # (nq, nelems, 8, 8): Be^T C0 Be batched over quadrature and elements
-    BtCB = jnp.einsum("qeij,ik,qekl->qejl", Be, C0, Be)
-    Ke = jnp.einsum("e,qe,qejl->ejl", c, detJ, BtCB)
+    # Staged contraction (explicit pairwise order): the 3-operand einsum can
+    # be planned into a huge outer-product intermediate by XLA:TPU's f64
+    # emulation (observed compile-time OOM at 131k elements).
+    CB = jnp.einsum("ik,qekl->qeil", C0, Be)  # (nq, ne, 3, 8)
+    w = c[None, :] * detJ  # (nq, ne)
+    Ke = jnp.einsum("qeij,qeil->ejl", Be, CB * w[:, :, None, None])
     return ElementOperator(Ke, dofs, nvars)
 
 
@@ -92,8 +95,8 @@ def mass_matrix(rhoE, He, detJ, dofs, nvars, ptype="linear", q=5.0,
                 rho0=1e-9, density=1.0):
     """M(rhoE) as an ElementOperator (natural_frequency.py:205-236)."""
     dens = mass_interp(rhoE, ptype=ptype, q=q, rho0=rho0, density=density)
-    HtH = jnp.einsum("qeij,qeil->qejl", He, He)
-    Me = jnp.einsum("e,qe,qejl->ejl", dens, detJ, HtH)
+    w = dens[None, :] * detJ  # (nq, ne)
+    Me = jnp.einsum("qeij,qeil->ejl", He, He * w[:, :, None, None])
     return ElementOperator(Me, dofs, nvars)
 
 

@@ -10,6 +10,18 @@ adjoint-total-derivative pipeline (crm.py:212-376) fully on device. The
 per-component thickness DVs mirror the per-component TACS design variables
 (crm.py:86-121); their sensitivities come from jax.vjp of the assembly
 instead of TACS addMatDVSensInnerProduct (crm.py:343-357).
+
+Two factorization paths:
+
+* dense (factor_kind "cholesky"): matrices reduced to the free DOFs — the
+  small-problem oracle.
+* scalable (factor_kind "bcr_f32", the default): the wingbox nodes group
+  exactly into span *stations* (every element couples only adjacent
+  stations), so with a station-padded DOF layout the shifted matrix is
+  block tridiagonal; the factor is the block-cyclic-reduction Cholesky in
+  f32 + f64 iterative refinement, Dirichlet DOFs are masked (zero
+  rows/cols), and nothing is ever densified. This is the structured-factor
+  role MPI-parallel TACS+SuperLU play in the reference, rebuilt for TPU.
 """
 
 from __future__ import annotations
@@ -21,9 +33,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..fem.shell import shell_dof_map, shell_element_matrices
+from ..fem.shell import shell_element_matrices
 from ..ops.autodiff import EigProblem, EighGenConfig, eigh_gen
-from ..ops.operators import DenseOperator
+from ..ops.operators import DenseOperator, ElementOperator
 
 
 def make_wingbox_mesh(nspan=8, nchord=4, nheight=2, span=10.0, c_root=3.0,
@@ -110,82 +122,142 @@ def make_wingbox_mesh(nspan=8, nchord=4, nheight=2, span=10.0, c_root=3.0,
 class CRM:
     """Wingbox modal analysis (reference CRM class surface, crm.py:19-407)."""
 
-    def __init__(self, nspan=8, nchord=4, nheight=2, N=6, m=None, sigma=None,
+    def __init__(self, nspan=48, nchord=8, nheight=3, N=6, m=None, sigma=0.0,
                  E=70e9, nu=0.3, rho=2700.0, t0=0.01, omega0=None,
-                 adjoint_method="sibk", rtol=1e-10, eig_atol=1e-5, **mesh_kw):
+                 adjoint_method="sibk", rtol=1e-10, eig_atol=1e-5,
+                 factor_kind="bcr_f32", nribs=None, **mesh_kw):
+        if nribs is None:
+            nribs = max(3, nspan // 8)
         X, conn, comp, names = make_wingbox_mesh(nspan, nchord, nheight,
-                                                 **mesh_kw)
+                                                 nribs=nribs, **mesh_kw)
         self.X = jnp.asarray(X)
         self.conn = jnp.asarray(conn)
         self.comp = jnp.asarray(comp)
         self.component_names = names
         self.ncomp = len(names)
         self.nnodes = X.shape[0]
-        self.nvars = 6 * self.nnodes
         self.E, self.nu, self.rho = E, nu, rho
         self.N = N
         if m is None:
             m = max(3 * N + 1, 60)
         self.m = m
+        self.factor_kind = factor_kind
+        self.scalable = factor_kind.startswith(("bcr", "blocktridiag"))
 
-        self.dofs = shell_dof_map(conn)
+        # --- station-padded DOF layout -----------------------------------
+        # Every node sits exactly on a span station y = span*j/nspan and
+        # every element couples only adjacent stations: block-tridiagonal
+        # structure by construction. Pad stations to a common node count.
+        span = mesh_kw.get("span", 10.0)
+        ys = np.unique(np.round(X[:, 1], 9))
+        station_of_node = np.searchsorted(ys, np.round(X[:, 1], 9))
+        self.nb = len(ys)
+        counts = np.bincount(station_of_node, minlength=self.nb)
+        self.b_nodes = int(counts.max())
+        self.b = 6 * self.b_nodes
+        self.nvars = self.nb * self.b
+        del span
+
+        rank = np.zeros(self.nnodes, dtype=np.int64)
+        seen = np.zeros(self.nb, dtype=np.int64)
+        for nnd in range(self.nnodes):
+            s = station_of_node[nnd]
+            rank[nnd] = seen[s]
+            seen[s] += 1
+        node_dof0 = station_of_node * self.b + 6 * rank
+        dofs = np.zeros((conn.shape[0], 24), dtype=np.int32)
+        for a in range(4):
+            for d in range(6):
+                dofs[:, 6 * a + d] = node_dof0[conn[:, a]] + d
+        self.dofs = jnp.asarray(dofs)
+        self.node_dof0 = jnp.asarray(node_dof0.astype(np.int32))
+        self.station_of_node = station_of_node
 
         # clamp the root section (y = 0) — the reference detects constrained
         # DOFs from identity rows of the TACS matrix (crm.py:146-183); here
-        # the root boundary is explicit.
-        fixed_nodes = np.nonzero(np.abs(X[:, 1]) < 1e-9)[0]
-        fixed = np.zeros(self.nvars, dtype=bool)
-        for d in range(6):
-            fixed[6 * fixed_nodes + d] = True
-        self.free = jnp.asarray(np.nonzero(~fixed)[0].astype(np.int32))
+        # the root boundary is explicit. Padded slots are masked too.
+        free_mask = np.zeros(self.nvars)
+        for nnd in range(self.nnodes):
+            if station_of_node[nnd] != 0:
+                free_mask[node_dof0[nnd]: node_dof0[nnd] + 6] = 1.0
+        self.free_mask = jnp.asarray(free_mask)
+        self.free = jnp.asarray(np.nonzero(free_mask)[0].astype(np.int32))
 
         # design variables: per-component thickness
         self.x = jnp.full(self.ncomp, t0)
 
-        # estimate sigma from a first solve if not given
         self._sigma = sigma
         self.adjoint_method = adjoint_method
         self.rtol = rtol
         self.eig_atol = eig_atol
         self.cfg = None
-        self.problem = EigProblem(assemble=self._assemble)
+        if self.scalable:
+            self.problem = EigProblem(assemble=self._assemble,
+                                      factor=self._factor, v0=self._v0)
+        else:
+            self.problem = EigProblem(assemble=self._assemble)
         self.profile: Dict = {"nnodes": self.nnodes, "nvars": self.nvars,
-                              "nelems": int(conn.shape[0]), "N": N, "m": m}
+                              "nelems": int(conn.shape[0]), "N": N, "m": m,
+                              "stations": self.nb, "block": self.b,
+                              "factor_kind": factor_kind}
 
     # -- differentiable assembly -------------------------------------------
 
-    def _assemble(self, tcomp):
+    def _element_mats(self, tcomp):
         t_elem = tcomp[self.comp]
         Xe = self.X[self.conn]
         Ke, Me = shell_element_matrices(Xe, t_elem, E=self.E, nu=self.nu,
                                         rho=self.rho)
-        nK = self.nvars
+        me = self.free_mask[self.dofs]
+        Ke = Ke * me[:, :, None] * me[:, None, :]
+        Me = Me * me[:, :, None] * me[:, None, :]
+        return Ke, Me
+
+    def _assemble(self, tcomp):
+        Ke, Me = self._element_mats(tcomp)
+        if self.scalable:
+            return (ElementOperator(Ke, self.dofs, self.nvars),
+                    ElementOperator(Me, self.dofs, self.nvars))
 
         def todense(mats):
-            out = jnp.zeros((nK, nK))
+            out = jnp.zeros((self.nvars, self.nvars))
             out = out.at[self.dofs[:, :, None],
                          self.dofs[:, None, :]].add(mats)
             return out[jnp.ix_(self.free, self.free)]
 
         return DenseOperator(todense(Ke)), DenseOperator(todense(Me))
 
+    def _factor(self, A, B, sig, mode):
+        from ..ops.blockfactor import (BCRFactor, BlockTridiagFactor,
+                                       RefinedFactor,
+                                       block_tridiag_from_dof_groups)
+
+        shifted = A.mats - sig * B.mats
+        D, E = block_tridiag_from_dof_groups(shifted, self.dofs, None,
+                                             self.nb, self.b)
+        cls_ = (BCRFactor if self.factor_kind.startswith("bcr")
+                else BlockTridiagFactor)
+        if not self.factor_kind.endswith("_f32"):
+            return cls_.from_blocks(D, E)
+        inner = cls_.from_blocks(D.astype(jnp.float32),
+                                 E.astype(jnp.float32))
+        op = ElementOperator(shifted, self.dofs, self.nvars)
+        return RefinedFactor(inner, op)
+
+    def _v0(self, theta):
+        key = jax.random.PRNGKey(12345)
+        v = jax.random.uniform(key, (self.nvars,), dtype=jnp.float64,
+                               minval=-1.0, maxval=1.0)
+        return v * self.free_mask
+
     def _ensure_cfg(self):
         if self.cfg is not None:
             return
+        # sigma = 0 is always valid for the clamped wingbox (K is SPD); an
+        # omega0-style shift (crm.py:212-259) is supported but unnecessary —
+        # the round-1 eager inverse-power estimate is gone.
         if self._sigma is None:
-            # cheap estimate of the lowest eigenvalue scale via a few
-            # inverse-power iterations on the dense pencil at the initial DVs
-            A, B = self._assemble(self.x)
-            from ..ops.factor import CholeskyFactor
-
-            f = CholeskyFactor.from_matrix(A.mat)
-            rng = np.random.default_rng(0)
-            v = jnp.asarray(rng.standard_normal(A.mat.shape[0]))
-            for _ in range(15):
-                v = f.mv(B.mv(v))
-                v = v / jnp.linalg.norm(v)
-            lam1 = float((v @ A.mv(v)) / (v @ B.mv(v)))
-            self._sigma = 0.5 * lam1
+            self._sigma = 0.0
         self.cfg = EighGenConfig(
             N=self.N, m=self.m, sigma=float(self._sigma), mode="normal",
             adjoint_method=self.adjoint_method, adjoint_maxiter=60,
@@ -202,7 +274,11 @@ class CRM:
         self._ensure_cfg()
         t0 = time.time()
         (self.lam, self.Qr), self._vjp = jax.vjp(self._solve_fn, self.x)
-        self.Q = jnp.zeros((self.nvars, self.N)).at[self.free].set(self.Qr)
+        if self.scalable:
+            self.Q = self.Qr  # already full (padded) space
+        else:
+            self.Q = jnp.zeros((self.nvars, self.N)).at[self.free].set(
+                self.Qr)
         self.profile["eigenvalue solve time"] = time.time() - t0
         self.profile["natural frequencies (Hz)"] = (
             np.sqrt(np.asarray(self.lam)) / (2 * np.pi)).tolist()
@@ -223,24 +299,28 @@ class CRM:
     # -- modal compliance (crm.py:267-293) ----------------------------------
 
     def tip_load(self):
-        """Unit vertical load at the tip section nodes."""
+        """Unit vertical load at the tip section nodes (padded layout)."""
         Xn = np.asarray(self.X)
         tip_nodes = np.nonzero(Xn[:, 1] > Xn[:, 1].max() - 1e-9)[0]
         f = np.zeros(self.nvars)
-        f[6 * tip_nodes + 2] = 1.0 / len(tip_nodes)
+        nd0 = np.asarray(self.node_dof0)
+        f[nd0[tip_nodes] + 2] = 1.0 / len(tip_nodes)
         return jnp.asarray(f)
+
+    def _reduced_f(self, f):
+        return f if self.scalable else f[self.free]
 
     def get_modal_compliance(self, f=None):
         if f is None:
             f = self.tip_load()
-        fr = f[self.free]
+        fr = self._reduced_f(f)
         vals = self.Qr.T @ fr
         return jnp.sum(vals**2 / self.lam)
 
     def add_modal_compliance_derivative(self, scale=1.0, f=None):
         if f is None:
             f = self.tip_load()
-        fr = f[self.free]
+        fr = self._reduced_f(f)
 
         def c(lam, Qr):
             vals = Qr.T @ fr
@@ -249,3 +329,42 @@ class CRM:
         glam, gQr = jax.grad(c, argnums=(0, 1))(self.lam, self.Qr)
         self.lamb = self.lamb + scale * glam
         self.Qrb = self.Qrb + scale * gQr
+
+    # -- mode-shape output (role of the reference's f5 files, crm.py:185-197)
+
+    def node_displacements(self, mode):
+        """(nnodes, 3) translational components of eigenvector ``mode``."""
+        Q = np.asarray(self.Q[:, mode])
+        nd0 = np.asarray(self.node_dof0)
+        return np.stack([Q[nd0 + d] for d in range(3)], axis=1)
+
+    def write_modes(self, prefix="crm_mode", nmodes=None, scale=0.4):
+        """Write mode-shape visualizations (PNG, matplotlib 3D wireframe) —
+        the role of the reference's TACS .f5 output (crm.py:185-197)."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        nmodes = self.N if nmodes is None else nmodes
+        Xn = np.asarray(self.X)
+        conn = np.asarray(self.conn)
+        paths = []
+        for mode in range(nmodes):
+            U = self.node_displacements(mode)
+            amp = scale * np.abs(Xn).max() / max(np.abs(U).max(), 1e-30)
+            Xd = Xn + amp * U
+            fig = plt.figure(figsize=(8, 5))
+            ax = fig.add_subplot(111, projection="3d")
+            quads = Xd[conn]  # (nelems, 4, 3)
+            seg = np.concatenate([quads, quads[:, :1]], axis=1)
+            for s in seg[:: max(1, len(seg) // 2000)]:
+                ax.plot(s[:, 0], s[:, 1], s[:, 2], "b-", lw=0.3)
+            fhz = float(np.sqrt(self.lam[mode]) / (2 * np.pi))
+            ax.set_title(f"mode {mode}: {fhz:.2f} Hz")
+            ax.set_box_aspect((np.ptp(Xd[:, 0]), np.ptp(Xd[:, 1]),
+                               np.ptp(Xd[:, 2])))
+            path = f"{prefix}{mode}.png"
+            fig.savefig(path, dpi=110)
+            plt.close(fig)
+            paths.append(path)
+        return paths

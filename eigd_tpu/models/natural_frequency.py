@@ -90,25 +90,34 @@ class TopologyAnalysis:
         # rate on the apply scans) and recovers f64 solve accuracy with
         # iterative refinement against the matrix-free f64 operator.
         factor_fn = None
-        if factor_kind in ("blocktridiag", "blocktridiag_f32"):
+        self.grid_shape = grid_shape
+        if factor_kind in ("blocktridiag", "blocktridiag_f32", "bcr",
+                           "bcr_f32"):
             if grid_shape is None:
                 raise ValueError(f"factor_kind={factor_kind!r} needs grid_shape")
             gnx, gny = grid_shape
-            use_f32 = factor_kind == "blocktridiag_f32"
+            use_f32 = factor_kind.endswith("_f32")
+            use_bcr = factor_kind.startswith("bcr")
 
             def factor_fn(A, B, sig, mode):
-                from ..ops.blockfactor import (BlockTridiagFactor,
+                from ..ops.blockfactor import (BCRFactor, BlockTridiagFactor,
                                                RefinedFactor,
                                                grid_block_tridiag)
-                from ..ops.operators import ElementOperator
+                from ..ops.stencil import (GridStencilOperator,
+                                           stencil_from_elements)
 
                 shifted = A.mats - sig * B.mats
                 D, Esub = grid_block_tridiag(shifted, gnx, gny, ndof=2)
+                cls_ = BCRFactor if use_bcr else BlockTridiagFactor
                 if not use_f32:
-                    return BlockTridiagFactor.from_blocks(D, Esub)
-                inner = BlockTridiagFactor.from_blocks(
-                    D.astype(jnp.float32), Esub.astype(jnp.float32))
-                op = ElementOperator(shifted, A.dofs, A.n)
+                    return cls_.from_blocks(D, Esub)
+                inner = cls_.from_blocks(D.astype(jnp.float32),
+                                         Esub.astype(jnp.float32))
+                # f64 residual operator for the refinement loop: stencil
+                # matvec (gather-free) of the shifted matrix.
+                Wst = stencil_from_elements(shifted, gnx, gny, 2)
+                op = GridStencilOperator(shifted, A.dofs, A.n, Wst,
+                                         (gnx, gny), 2)
                 return RefinedFactor(inner, op)
 
         self.problem = EigProblem(assemble=self._assemble,
@@ -134,6 +143,14 @@ class TopologyAnalysis:
         M = fem.mass_matrix(rhoE, self.He, self.detJ, self.dofs, self.nvars,
                             ptype=self.ptype_M, q=self.q, rho0=self.rho0_M,
                             density=self.density)
+        if self.grid_shape is not None:
+            # Gather/scatter-free matvecs on the structured grid (stencil.py)
+            from ..ops.stencil import GridStencilOperator
+
+            K = GridStencilOperator.from_element_operator(
+                K, self.grid_shape, ndof=2)
+            M = GridStencilOperator.from_element_operator(
+                M, self.grid_shape, ndof=2)
         return K, M
 
     def _nullspace(self, rhoE):
@@ -419,8 +436,7 @@ def make_model(nx=128, ny=64, Lx=1.0, Ly=1.0, rfact=4.0, N=10, Mx=3, My=3,
                       projection=kwargs.pop("projection", False),
                       beta=kwargs.pop("b0", 10.0))
 
-    if str(kwargs.get("factor_kind", "")).startswith("blocktridiag"):
-        kwargs.setdefault("grid_shape", (nx, ny))
+    kwargs.setdefault("grid_shape", (nx, ny))
 
     topo = TopologyAnalysis(fltr, mesh.conn, mesh.X, N=N,
                             node_sets=node_sets, element_sets=element_sets,

@@ -217,6 +217,48 @@ def _eigh_gen_bwd(problem, cfg, saved, cotangents):
 eigh_gen.defvjp(_eigh_gen_fwd, _eigh_gen_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Differentiable SPD linear solve with a custom factor (static-solve path)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def solve_spd(theta, f, build_op, build_factor):
+    """u = K(theta)^{-1} f with a hand-written adjoint rule.
+
+    The factor may contain while_loops / mixed-precision refinement that JAX
+    cannot differentiate through; the VJP is the standard self-adjoint pair
+    (reference buckling.py:974-979 path adjoint, generalized):
+        w = K^{-1} u_bar;  theta_bar = -grad_theta( w^T K(theta) u );
+        f_bar = w.
+    build_op(theta) -> Operator (differentiable), build_factor(theta) ->
+    factor with .mv (not differentiated).
+    """
+    fac = build_factor(theta)
+    return fac.mv(f)
+
+
+def _solve_spd_fwd(theta, f, build_op, build_factor):
+    fac = build_factor(theta)
+    u = fac.mv(f)
+    return u, (theta, u, fac)
+
+
+def _solve_spd_bwd(build_op, build_factor, saved, ubar):
+    theta, u, fac = saved
+    w = fac.mv(ubar)
+
+    def bilin(th):
+        op = build_op(th)
+        return -jnp.sum(w * op.mv(u))
+
+    theta_bar = jax.grad(bilin)(theta)
+    return theta_bar, w
+
+
+solve_spd.defvjp(_solve_spd_fwd, _solve_spd_bwd)
+
+
 def eigh_gen_directional_oracle(A, B, dA, dB, N, eig_atol=1e-5):
     """Directional-derivative oracle with the reference's complex-step
     semantics: divided differences between numerically repeated eigenvalues

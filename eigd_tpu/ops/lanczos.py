@@ -51,10 +51,12 @@ def _tridiagonal(alpha, beta):
 
 
 def map_ritz_values(theta, sigma, mode):
-    """Undo the spectral transformation (reference :1430-1438).
+    """Undo the spectral transformation (reference :1430-1438; Cayley per
+    ARPACK mode 5, reference arpack.py:404-416).
 
-    normal:   lam = 1/theta + sigma        (theta = 1/(lam - sigma))
-    buckling: lam = sigma*theta/(theta-1)  (theta = lam/(lam - sigma))
+    normal:   lam = 1/theta + sigma          (theta = 1/(lam - sigma))
+    buckling: lam = sigma*theta/(theta-1)    (theta = lam/(lam - sigma))
+    cayley:   lam = sigma*(theta+1)/(theta-1) (theta = (lam+sigma)/(lam-sigma))
     """
     if mode == "normal":
         lam = 1.0 / theta + sigma
@@ -62,6 +64,12 @@ def map_ritz_values(theta, sigma, mode):
     elif mode == "buckling":
         lam = sigma * theta / (theta - 1.0)
         order = jnp.argsort(-1.0 / lam)
+    elif mode == "cayley":
+        denom = theta - 1.0
+        safe = jnp.where(denom == 0.0, 1.0, denom)
+        lam = jnp.where(denom == 0.0, jnp.inf,
+                        sigma * (theta + 1.0) / safe)
+        order = jnp.argsort(lam)
     else:
         raise ValueError(f"Unknown mode {mode!r}")
     return lam, order
@@ -94,7 +102,8 @@ def full_rayleigh_ritz(BV, W_raw, sigma, mode):
 
 
 def lanczos_iteration(factor_mv, B_mv, v0, m, deflate=None, axis=None,
-                      tol=None, nwanted=None, check_every=8, min_iter=None):
+                      tol=None, nwanted=None, check_every=8, min_iter=None,
+                      apply_op=None):
     """Run up to m shift-invert Lanczos steps with full B-orthogonalization
     (CGS2), optionally exiting early once the wanted Ritz pairs converge.
 
@@ -145,6 +154,10 @@ def lanczos_iteration(factor_mv, B_mv, v0, m, deflate=None, axis=None,
     n = v0.shape[0]
     dtype = v0.dtype
 
+    if apply_op is None:
+        def apply_op(v, bv):  # standard shift-invert operator (ref :1500)
+            return factor_mv(bv)
+
     if deflate is not None:
         U, BU = deflate
 
@@ -170,7 +183,7 @@ def lanczos_iteration(factor_mv, B_mv, v0, m, deflate=None, axis=None,
     col = jnp.arange(m + 1)
 
     def step(i, V, BV, alpha, beta, W_raw):
-        w = factor_mv(BV[i])
+        w = apply_op(V[i], BV[i])
         W_raw = W_raw.at[i].set(w)
 
         mask = (col <= i).astype(dtype)
@@ -349,12 +362,19 @@ def lanczos_solve(A, B, factor, sigma, N, m, mode="normal", seed=12345,
 
     if tol is not None and mode != "normal":
         # Early exit picks wanted modes as largest-theta, valid for the
-        # normal spectral map only; buckling runs fixed-trip.
+        # normal spectral map only; buckling/cayley run fixed-trip.
         tol = None
+
+    apply_op = None
+    if mode == "cayley":
+        # ARPACK mode 5 (reference arpack.py:404-416): the iterated operator
+        # is (A - sigma*B)^{-1} (A + sigma*B) with B-orthogonalization.
+        def apply_op(v, bv):
+            return factor.mv(A.mv(v) + sigma * bv)
 
     V, BV, alpha, beta, W_raw, niter = lanczos_iteration(
         factor.mv, B.mv, v0, m, deflate=deflate, axis=axis, tol=tol,
-        nwanted=N, check_every=check_every)
+        nwanted=N, check_every=check_every, apply_op=apply_op)
     Hf = psum(BV[:m] @ W_raw.T, axis)
     H = 0.5 * (Hf + Hf.T)
     # Jacobi-polished reduced eigensolve: XLA's eigh alone caps eigenvector
@@ -411,7 +431,7 @@ class BasicLanczos:
     def __init__(self, N=10, m=60, tol=1e-14, Ntarget=None, eig_atol=1e-5,
                  mode="normal", seed=12345, ortho_type="full",
                  adaptive=False):
-        if mode not in ("normal", "buckling"):
+        if mode not in ("normal", "buckling", "cayley"):
             raise ValueError(f"Unknown mode {mode!r}")
         if Ntarget is not None and not isinstance(Ntarget, int):
             raise ValueError("Ntarget must be an integer or None")
@@ -522,6 +542,11 @@ class BasicLanczos:
 
         if method not in ("pcpg", "pgmres", "sibk", "laa", "dl"):
             raise ValueError(f"Unknown method {method!r}")
+        if self.mode == "cayley":
+            raise ValueError(
+                "cayley is a forward-solve spectral transform only; the "
+                "adjoint solvers support normal/buckling (as in the "
+                "reference, where mode 5 exists only in the ARPACK shim).")
 
         res = self.res
         Phib = jnp.asarray(Phib)

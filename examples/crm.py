@@ -17,7 +17,13 @@ from eigd_tpu.models.crm import CRM  # noqa: E402
 
 
 def main():
-    model = CRM(nspan=6, nchord=3, nheight=2, N=6, m=40, nribs=2)
+    # default-scale wingbox (>= 10k DOF); pass "small" for a quick run
+    if "small" in sys.argv:
+        model = CRM(nspan=6, nchord=3, nheight=2, N=6, m=40, nribs=2)
+    else:
+        model = CRM(nspan=64, nchord=10, nheight=4, N=6, m=60)
+    print(f"wingbox: {model.nnodes} nodes, {6 * model.nnodes} DOF "
+          f"({model.nb} stations x {model.b} padded block)")
     model.initialize(store=True)
     print("natural frequencies (Hz):",
           [f"{f:.2f}" for f in model.profile["natural frequencies (Hz)"]])
@@ -32,7 +38,7 @@ def main():
     rng = np.random.default_rng(0)
     x0 = jnp.asarray(model.x)
     pert = jnp.asarray(rng.uniform(size=x0.shape))
-    h = 1e-7 * float(x0[0])
+    h = 1e-6 * float(x0[0])
 
     def val(x):
         model.x = x
@@ -44,6 +50,10 @@ def main():
     ans = float(pert @ model.xb)
     print("%25s  %25s  %25s" % ("Answer", "FD", "FD Rel Error"))
     print("%25.15e  %25.15e  %25.15e" % (ans, fd, abs((ans - fd) / fd)))
+
+    if "plot" in sys.argv:
+        paths = model.write_modes(nmodes=3)
+        print("mode shapes written:", paths)
 
 
 if __name__ == "__main__":

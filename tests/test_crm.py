@@ -94,3 +94,47 @@ class TestWingbox:
         crm.initialize()
         rel = abs(float(pert @ crm.xb) - fd) / abs(fd)
         assert rel < 1e-5, rel
+
+
+class TestWingboxScalable:
+    """Station-blocked scalable path (BCR f32 factor, masked BCs)."""
+
+    def test_scalable_matches_dense(self):
+        m1 = CRM(nspan=4, nchord=2, nheight=1, N=4, m=40, nribs=1,
+                 factor_kind="cholesky")
+        m1.initialize()
+        m2 = CRM(nspan=4, nchord=2, nheight=1, N=4, m=40, nribs=1,
+                 factor_kind="bcr_f32")
+        m2.initialize()
+        np.testing.assert_allclose(np.asarray(m2.lam), np.asarray(m1.lam),
+                                   rtol=1e-8)
+        assert abs(float(m1.get_modal_compliance())
+                   - float(m2.get_modal_compliance())) < 1e-8 * abs(
+                       float(m1.get_modal_compliance()))
+
+    def test_compliance_fd_moderate(self):
+        m = CRM(nspan=24, nchord=6, nheight=2, N=6, m=60)
+        m.initialize()
+        m.initialize_adjoint()
+        m.add_modal_compliance_derivative(1.0)
+        m.finalize_adjoint()
+        x0 = jnp.asarray(m.x)
+        pert = jnp.asarray(np.random.default_rng(1).uniform(size=x0.shape))
+        h = 1e-6 * float(x0[0])
+
+        def val(x):
+            m.x = x
+            m.initialize()
+            return float(m.get_modal_compliance())
+
+        fd = (val(x0 + h * pert) - val(x0 - h * pert)) / (2 * h)
+        m.x = x0
+        rel = abs(float(pert @ m.xb) - fd) / abs(fd)
+        assert rel < 1e-5, rel
+
+    def test_write_modes(self, tmp_path):
+        m = CRM(nspan=4, nchord=2, nheight=1, N=2, m=30, nribs=1)
+        m.initialize()
+        paths = m.write_modes(prefix=str(tmp_path / "mode"), nmodes=2)
+        import os
+        assert all(os.path.exists(p) for p in paths)

@@ -216,3 +216,31 @@ class TestThickRestartIRAM:
         solver.solve(A, B, factor, 0.0)
         with pytest.raises(ValueError):
             solver.solve_adjoint(jnp.zeros((n, N)), method="dl")
+
+
+class TestCayley:
+    def test_cayley_mode_matches_dense(self):
+        """Cayley spectral transform (ARPACK mode 5, reference
+        arpack.py:404-416): same eigenpairs as the normal map."""
+        import scipy.linalg
+
+        from eigd_tpu.ops.factor import make_shift_factor
+        from eigd_tpu.ops.lanczos import BasicLanczos
+
+        n, N = 50, 5
+        rng = np.random.default_rng(3)
+        Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        w = np.linspace(1.0, 80.0, n)
+        A = jnp.asarray(Q @ np.diag(w) @ Q.T)
+        Bm = rng.standard_normal((n, n)) * 0.1
+        B = jnp.asarray(np.eye(n) + Bm @ Bm.T)
+        sigma = 0.5
+        factor = make_shift_factor(A, B, sigma)
+        solver = BasicLanczos(N=N, m=40, mode="cayley")
+        lam, Phi = solver.solve(A, B, factor, sigma)
+        lam_ref = scipy.linalg.eigh(np.asarray(A), np.asarray(B),
+                                    eigvals_only=True)[:N]
+        np.testing.assert_allclose(np.asarray(lam), lam_ref, rtol=1e-9)
+        # adjoint dispatch must refuse cayley
+        with pytest.raises(ValueError):
+            solver.solve_adjoint(jnp.zeros((n, N)))

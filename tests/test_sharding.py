@@ -4,6 +4,8 @@ and serial-vs-sharded gradient parity through the full eigensolve+adjoint."""
 
 from functools import partial
 
+import os
+
 import numpy as np
 import pytest
 
@@ -247,6 +249,8 @@ class TestGradientParity:
         assert abs(ans - fd) / abs(fd) < 1e-7, (ans, fd)
 
     @pytest.mark.slow
+    @pytest.mark.skipif(not os.environ.get("EIGD_RUN_SLOW"),
+                        reason="~35 min on 1 CPU core; set EIGD_RUN_SLOW=1")
     def test_sharded_gradient_parity_50k_dof(self, mesh):
         """Parity at a size where sharding matters (>= 50k DOF)."""
         nx, ny, N = 250, 99, 2  # 2*(251*100) = 50,200 DOF
