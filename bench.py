@@ -32,7 +32,8 @@ jax.config.update("jax_enable_x64", True)
 NX = int(os.environ.get("EIGD_BENCH_NX", 512))
 NY = int(os.environ.get("EIGD_BENCH_NY", 256))
 N_MODES = 6
-M_LANCZOS = 54
+BLOCK = 8  # forward Lanczos block size: 8 Krylov vectors per factor apply
+M_LANCZOS = BLOCK * 22  # adaptive exit typically stops around 14-17 blocks
 
 
 def log(*a):
@@ -43,7 +44,8 @@ def make_topo():
     from eigd_tpu.models.natural_frequency import make_model
 
     return make_model(nx=NX, ny=NY, Lx=2.0, Ly=1.0, N=N_MODES, rfact=2.0,
-                      m=M_LANCZOS, factor_kind="bcr_f32", lanczos_tol=1e-12,
+                      m=M_LANCZOS, factor_kind="bcr_f32", lanczos_tol=1e-11,
+                      lanczos_block=BLOCK,
                       adjoint_options={"maxiter": 60, "nrestart": 2})
 
 

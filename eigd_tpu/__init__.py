@@ -33,7 +33,19 @@ from .ops.factor import (  # noqa: E402
     CGFactor,
     make_shift_factor,
 )
-from .ops.lanczos import BasicLanczos, LanczosResult, lanczos_iteration  # noqa: E402
+from .ops.lanczos import (  # noqa: E402
+    BasicLanczos,
+    LanczosResult,
+    block_lanczos_solve,
+    lanczos_iteration,
+    lanczos_solve,
+)
+from .ops.blockfactor import (  # noqa: E402
+    BCRFactor,
+    BlockTridiagFactor,
+    RefinedFactor,
+)
+from .ops.stencil import GridStencilOperator  # noqa: E402
 from .ops.restart import IRAM, thick_restart_solve  # noqa: E402
 from .ops.adjoint import (  # noqa: E402
     laa,
@@ -59,6 +71,12 @@ __all__ = [
     "BasicLanczos",
     "LanczosResult",
     "lanczos_iteration",
+    "lanczos_solve",
+    "block_lanczos_solve",
+    "BCRFactor",
+    "BlockTridiagFactor",
+    "RefinedFactor",
+    "GridStencilOperator",
     "IRAM",
     "thick_restart_solve",
     "laa",

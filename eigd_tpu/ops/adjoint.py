@@ -324,7 +324,7 @@ def _solve_shifted_lstsq(alpha, H0, r):
 
 def sibk(Phib, A, B, lam, Phi, mode="normal", psi=None, sigma=None,
          factor=None, rtol=1e-10, atol=1e-30, eig_atol=1e-5, maxiter=50,
-         nrestart=2, check_every=8, bs_target=None, update_guess=None,
+         nrestart=2, check_every=1, bs_target=None, update_guess=None,
          callback=None, axis=None):
     """Shift-invert block Krylov adjoint solver.
 
@@ -390,17 +390,22 @@ def sibk(Phib, A, B, lam, Phi, mode="normal", psi=None, sigma=None,
         R = op_residual(psi_)
         return jnp.sqrt(psum(jnp.sum(R * R, axis=0), axis))
 
-    K = maxiter  # max ladder steps per round
-    col = jnp.arange(K + N)
-
+    # The ladder extends N vectors per factor apply (one block step): on TPU
+    # a blocked factor apply costs the same as a single-vector one (the
+    # solve sweeps are latency/bandwidth-bound), so the block form cuts the
+    # number of factor applies by ~N for the same Krylov dimension. T block
+    # steps give a ladder of K = T*N vectors.
+    T = max(1, -(-maxiter // N))
+    K = T * N
     eyeK = jnp.eye(K + N, K, dtype=dtype)
     eyeK_low = jnp.eye(K + N, K, k=-N, dtype=dtype)
+    col = jnp.arange(K + N)
 
     def solve_all(H, r0):
         """Batched shifted lstsq over the (possibly truncated) ladder.
 
         Ladder columns that were never built (all-zero H columns after an
-        early exit) are replaced by unit columns at rows >= t+N — NOT at
+        early exit) are replaced by unit columns at rows >= j+N — NOT at
         their own row j, which real columns' residual lives on: a unit at
         (j, j) would let the least-squares zero the beta-coupling residual
         rows with spurious components and report false convergence.
@@ -426,40 +431,42 @@ def sibk(Phib, A, B, lam, Phi, mode="normal", psi=None, sigma=None,
         H = jnp.zeros((K + N, K), dtype=dtype)
 
         def step(t, W, Z, H):
-            z = factor.mv(W[t])
+            lo = t * N
+            Wblk = jax.lax.dynamic_slice_in_dim(W, lo, N, axis=0)  # (N, n)
+            Zblk = factor.mv(Wblk.T)  # (n, N) blocked apply
             if mode == "normal":
-                w = proj(B.mv(z))
+                w = proj(B.mv(Zblk))
             else:
-                w = proj(A.mv(z))
-            mask = (col < t + N).astype(dtype)
-            h1 = pdot(W, w, axis) * mask
+                w = proj(A.mv(Zblk))
+            mask = (col < lo + N).astype(dtype)
+            h1 = pdot(W, w, axis) * mask[:, None]
             w = w - W.T @ h1
-            h2 = pdot(W, w, axis) * mask
+            h2 = pdot(W, w, axis) * mask[:, None]
             w = w - W.T @ h2
             w = proj(w)
-            h = h1 + h2
-            nw2 = psum(w @ w, axis)
-            ok = nw2 > 1e-60
-            nw = jnp.sqrt(jnp.where(ok, nw2, 1.0))
-            W = W.at[t + N].set(jnp.where(ok, 1.0, 0.0) * w / nw)
-            Z = Z.at[t].set(z)
-            H = H.at[:, t].set(h.at[t + N].set(jnp.where(ok, nw, 0.0)))
+            h = h1 + h2  # ((K+N), N)
+            Qb, Rb = qr_tall(w, axis)
+            W = jax.lax.dynamic_update_slice_in_dim(W, Qb.T, lo + N, axis=0)
+            Z = jax.lax.dynamic_update_slice_in_dim(Z, Zblk.T, lo, axis=0)
+            rowmask = ((col >= lo + N) & (col < lo + 2 * N)).astype(dtype)
+            Rpad = jnp.zeros((K + N, N), dtype=dtype)
+            Rpad = jax.lax.dynamic_update_slice(Rpad, Rb, (lo + N, 0))
+            h = h * (1.0 - rowmask)[:, None] + Rpad
+            H = jax.lax.dynamic_update_slice(H, h, (0, lo))
             return W, Z, H
 
         def cond(carry):
             t, done = carry[0], carry[1]
-            return (t < K) & ~done
+            return (t < T) & ~done
 
         def body(carry):
             t, done, W, Z, H = carry
             W, Z, H = step(t, W, Z, H)
             t1 = t + 1
-            # (t1 >= N keeps the masked lstsq well-posed: zero ladder columns
-            # must lie outside the rhs rows)
-            do_check = ((t1 % check_every) == 0) & (t1 < K) & (t1 >= N)
+            do_check = ((t1 % check_every) == 0) & (t1 < T)
 
             def check():
-                # Ladder columns >= t1 are zero, so the masked lstsq solves
+                # Ladder columns >= t1*N are zero, so the masked lstsq solves
                 # the truncated systems exactly (zero extra components).
                 _, res = solve_all(H, r0)
                 return jnp.all(res < tol)
@@ -472,7 +479,7 @@ def sibk(Phib, A, B, lam, Phi, mode="normal", psi=None, sigma=None,
 
         Ymat, resids = solve_all(H, r0)
         psi_ = psi_ + Z.T @ Ymat
-        return psi_, resids, t_end
+        return psi_, resids, t_end * N
 
     hist = jnp.full((max(1, nrestart), N), jnp.nan, dtype=dtype)
 

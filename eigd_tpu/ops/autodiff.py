@@ -54,6 +54,7 @@ class EighGenConfig:
     seed: int = 12345
     lanczos_tol: float = None
     axis: str = None
+    block: int = 1  # forward Lanczos block size (p vectors per factor apply)
 
 
 # ---------------------------------------------------------------------------
@@ -185,9 +186,17 @@ def _forward_ops(theta, problem, A, B, cfg):
         U0 = problem.nullspace(theta)
         deflate = b_orthonormalize_rows(U0, B.mv, axis=cfg.axis)
     v0 = problem.v0(theta) if problem.v0 is not None else None
-    res = lanczos_solve(A, B, factor, cfg.sigma, cfg.N, cfg.m,
-                        mode=cfg.mode, seed=cfg.seed, deflate=deflate,
-                        axis=cfg.axis, tol=cfg.lanczos_tol, v0=v0)
+    if cfg.block > 1:
+        from .lanczos import block_lanczos_solve
+
+        res = block_lanczos_solve(A, B, factor, cfg.sigma, cfg.N, cfg.m,
+                                  cfg.block, mode=cfg.mode, seed=cfg.seed,
+                                  deflate=deflate, axis=cfg.axis,
+                                  tol=cfg.lanczos_tol, v0=v0)
+    else:
+        res = lanczos_solve(A, B, factor, cfg.sigma, cfg.N, cfg.m,
+                            mode=cfg.mode, seed=cfg.seed, deflate=deflate,
+                            axis=cfg.axis, tol=cfg.lanczos_tol, v0=v0)
     return res.lam, res.Phi, (res, factor)
 
 

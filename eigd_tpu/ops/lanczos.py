@@ -12,11 +12,16 @@ for the hardware rather than translated:
 * ``B @ v`` products are cached in a second basis ``BV`` so each iteration
   costs exactly one factor apply and one B matvec; all B-inner products
   against the basis become plain GEMMs with ``BV``.
-* The iteration count ``m`` is static (lax.fori_loop) so the whole solve jits;
-  convergence is *reported* (per-mode residuals ``|beta_m * Y[m-1, j]|``,
-  reference :1639-1645) rather than used for data-dependent early exit.
+* The iteration count is bounded by a static ``m``; with ``tol`` set the
+  loop is a jit-compatible while_loop that exits once the wanted Ritz pairs
+  pass the reference's convergence test ``|beta_m * Y[m-1, j]|``
+  (:1441-1451), and per-mode residuals are always reported (:1639-1645).
   The host-level ``BasicLanczos`` wrapper implements the reference's
   ``Ntarget`` adaptive mode-count logic (:1614-1634) outside jit.
+* ``block_lanczos_solve`` advances p Krylov vectors per factor apply —
+  on TPU the factor apply is latency/bandwidth-bound, so the block form
+  cuts the count of (sequential, expensive) applies by ~p for the same
+  subspace quality.
 * The complex-step trick the reference needs for verification (:1387-1414) is
   unnecessary: this implementation is differentiable end to end, so
   ``jax.jvp`` provides the exact forward-mode derivative channel.
@@ -416,6 +421,185 @@ def lanczos_solve(A, B, factor, sigma, N, m, mode="normal", seed=12345,
         sigma=jnp.asarray(sigma, dtype=dtype),
         niter=niter,
     )
+
+
+def b_qr_tall(X, B_mv, axis=None):
+    """B-orthonormal thin QR of a (possibly DOF-sharded) (n, p) block via
+    column-scaled CholeskyQR2 in the B inner product.
+
+    Returns (Q, BQ, R) with Q^T B Q = I and X = Q R.
+    """
+    def one_pass(X, BX):
+        G = psum(X.T @ BX, axis)
+        G = 0.5 * (G + G.T)
+        cn = jnp.sqrt(jnp.maximum(jnp.diagonal(G), 1e-300))
+        Gs = G / (cn[:, None] * cn[None, :])
+        eps = 1e-14
+        L = jnp.linalg.cholesky(
+            Gs + eps * jnp.eye(G.shape[0], dtype=G.dtype))
+        Q = solve_triangular_cols(L, X / cn[None, :])
+        BQ = solve_triangular_cols(L, BX / cn[None, :])
+        return Q, BQ, L.T * cn[None, :]
+
+    def solve_triangular_cols(L, X):
+        from jax.scipy.linalg import solve_triangular
+
+        return solve_triangular(L, X.T, lower=True).T
+
+    BX = B_mv(X)
+    Q, BQ, R1 = one_pass(X, BX)
+    Q, BQ, R2 = one_pass(Q, BQ)
+    return Q, BQ, R2 @ R1
+
+
+def block_lanczos_solve(A, B, factor, sigma, N, m, p, mode="normal",
+                        seed=12345, v0=None, deflate=None, axis=None,
+                        tol=None, check_every=1) -> LanczosResult:
+    """Block shift-invert Lanczos: p Krylov vectors advance per factor apply.
+
+    TPU rationale: the factor apply is latency/bandwidth-bound, so a blocked
+    apply costs nearly the same as a single-vector one — the block form cuts
+    the number of (expensive, sequential) factor applies by ~p for the same
+    subspace dimension. The subspace is kept fully B-orthonormal with CGS2 +
+    B-CholeskyQR2 (all GEMMs), and the reduced problem uses the fully
+    measured projected operator exactly like the single-vector path. This
+    plays the role ARPACK's (single-vector) IRAM plays for the reference —
+    redesigned for the hardware rather than translated.
+
+    m is rounded up to a multiple of p. The 'dl' adjoint needs the scalar
+    three-term chain and therefore requires the single-vector solver.
+    """
+    A = as_operator(A)
+    B = as_operator(B)
+    dtype = A.dtype
+    n = A.shape[0]
+    q = -(-m // p)
+    mtot = q * p
+
+    if v0 is None:
+        key = jax.random.PRNGKey(seed)
+        v0 = jax.random.uniform(key, (n, p), dtype=dtype, minval=-1.0,
+                                maxval=1.0)
+    if v0.ndim == 1:
+        key = jax.random.PRNGKey(seed + 1)
+        extra = jax.random.uniform(key, (n, p - 1), dtype=dtype,
+                                   minval=-1.0, maxval=1.0) * (
+            1.0 + 0.0 * v0[:, None])
+        v0 = jnp.concatenate([v0[:, None], extra], axis=1)
+
+    if deflate is not None:
+        U, BU = deflate
+
+        def defl(Wb):
+            return Wb - U.T @ pdot(BU, Wb, axis)
+    else:
+        def defl(Wb):
+            return Wb
+
+    Q0, BQ0, _ = b_qr_tall(defl(v0), B.mv, axis=axis)
+    V = jnp.zeros(((q + 1) * p, n), dtype=dtype).at[:p].set(Q0.T)
+    BV = jnp.zeros(((q + 1) * p, n), dtype=dtype).at[:p].set(BQ0.T)
+    W_raw = jnp.zeros((mtot, n), dtype=dtype) + 0.0 * v0[None, :, 0]
+    Hc = jnp.zeros(((q + 1) * p, mtot), dtype=dtype)  # one-sided coeffs
+    col = jnp.arange((q + 1) * p)
+
+    def step(t, V, BV, W_raw, Hc):
+        lo = t * p
+        BVblk = jax.lax.dynamic_slice_in_dim(BV, lo, p, axis=0)
+        w = factor.mv(BVblk.T)  # (n, p) blocked apply
+        W_raw = jax.lax.dynamic_update_slice_in_dim(W_raw, w.T, lo, axis=0)
+        w = defl(w)
+        mask = (col < lo + p).astype(dtype)
+        h1 = pdot(BV, w, axis) * mask[:, None]
+        w = w - V.T @ h1
+        h2 = pdot(BV, w, axis) * mask[:, None]
+        w = w - V.T @ h2
+        w = defl(w)
+        h = h1 + h2
+        Qb, BQb, Rb = b_qr_tall(w, B.mv, axis=axis)
+        V = jax.lax.dynamic_update_slice_in_dim(V, Qb.T, lo + p, axis=0)
+        BV = jax.lax.dynamic_update_slice_in_dim(BV, BQb.T, lo + p, axis=0)
+        rowmask = ((col >= lo + p) & (col < lo + 2 * p)).astype(dtype)
+        Rpad = jnp.zeros(((q + 1) * p, p), dtype=dtype)
+        Rpad = jax.lax.dynamic_update_slice(Rpad, Rb, (lo + p, 0))
+        h = h * (1.0 - rowmask)[:, None] + Rpad
+        Hc = jax.lax.dynamic_update_slice(Hc, h, (0, lo))
+        return V, BV, W_raw, Hc
+
+    if tol is None or mode != "normal":
+        def body(t, carry):
+            return step(t, *carry)
+
+        V, BV, W_raw, Hc = jax.lax.fori_loop(0, q, body,
+                                             (V, BV, W_raw, Hc))
+        niter = jnp.asarray(mtot)
+    else:
+        row = jnp.arange(mtot)
+
+        def converged(t1, Hc):
+            active = row < t1 * p
+            Hm = Hc[:mtot] * active[:, None] * active[None, :]
+            Hm = 0.5 * (Hm + Hm.T)
+            theta, Y = jnp.linalg.eigh(Hm)
+            sel = jnp.argsort(-theta)[:N]
+            # coupling of the last active block: rows [t1*p, t1*p + p) of Hc
+            Rblk = jax.lax.dynamic_slice(
+                Hc, ((t1 - 1) * p + p, (t1 - 1) * p), (p, p))
+            Ylast = jax.lax.dynamic_slice_in_dim(
+                Y, (t1 - 1) * p, p, axis=0)[:, sel]
+            res = jnp.sqrt(jnp.sum((Rblk @ Ylast) ** 2, axis=0))
+            scale = jnp.maximum(jnp.max(jnp.abs(theta)), 1.0)
+            return jnp.all(res < tol * scale)
+
+        def cond(carry):
+            t, done = carry[0], carry[1]
+            return (t < q) & ~done
+
+        def body(carry):
+            t, done, V, BV, W_raw, Hc = carry
+            V, BV, W_raw, Hc = step(t, V, BV, W_raw, Hc)
+            t1 = t + 1
+            min_blocks = -(-N // p) + 1
+            do_check = ((t1 % check_every) == 0) & (t1 >= min_blocks)
+            done = jax.lax.cond(
+                do_check, lambda: converged(t1, Hc),
+                lambda: jnp.asarray(False))
+            return t1, done, V, BV, W_raw, Hc
+
+        carry = (jnp.asarray(0), jnp.asarray(False), V, BV, W_raw, Hc)
+        t_end, _, V, BV, W_raw, Hc = jax.lax.while_loop(cond, body, carry)
+        niter = t_end * p
+        keep = (jnp.arange((q + 1) * p) < niter)[:, None].astype(dtype)
+        V = V * keep
+        BV = BV * keep
+
+    Hf = psum(BV[:mtot] @ W_raw.T, axis)
+    H = 0.5 * (Hf + Hf.T)
+    from .jacobi import eigh_accurate
+
+    theta, Y = eigh_accurate(H)
+    if tol is not None and mode == "normal":
+        scale = jnp.max(jnp.abs(theta))
+        lam_all = jnp.where(jnp.abs(theta) > 1e-12 * scale,
+                            1.0 / theta + sigma, jnp.inf)
+        order = jnp.argsort(lam_all)
+    else:
+        lam_all, order = map_ritz_values(theta, sigma, mode)
+
+    sel = order[:N]
+    lam = lam_all[sel]
+    Y0 = Y[:, sel]
+    Phi = V[:mtot].T @ Y0
+    # residual per selected mode in theta space: || Op phi - theta phi ||_B
+    OpPhi = W_raw.T @ Y0
+    Rm = OpPhi - Phi * theta[sel][None, :]
+    eig_res = jnp.sqrt(jnp.abs(psum(jnp.sum(Rm * B.mv(Rm), axis=0), axis)))
+
+    zeros_m = jnp.zeros(mtot, dtype=dtype)
+    return LanczosResult(
+        lam=lam, Phi=Phi, V=V, BV=BV, alpha=zeros_m, beta=zeros_m, H=H,
+        theta=theta, Y=Y, order=order, lam_all=lam_all, eig_res=eig_res,
+        sigma=jnp.asarray(sigma, dtype=dtype), niter=niter)
 
 
 class BasicLanczos:

@@ -5,6 +5,7 @@ CLI mirror of the reference's examples/natural_frequency.py __main__
 derivative verification, optionally plot.
 
     python examples/natural_frequency.py [sibk|laa|pcpg|pgmres] [nx ny]
+                                        [bcr_f32|blocktridiag|dense]
 """
 
 import sys
@@ -26,10 +27,16 @@ def main():
     args = [a for a in sys.argv[1:] if a.isdigit()]
     if len(args) >= 2:
         nx, ny = int(args[0]), int(args[1])
+    factor_kind = "dense"
+    for cand in ("bcr_f32", "bcr", "blocktridiag", "blocktridiag_f32"):
+        if cand in sys.argv:
+            factor_kind = cand
+            break
 
-    print(f"method = {method}, grid = {nx}x{ny}")
+    print(f"method = {method}, grid = {nx}x{ny}, factor = {factor_kind}")
     topo = make_model(nx=nx, ny=ny, Lx=2.0, Ly=1.0, N=6,
-                      adjoint_method=method)
+                      adjoint_method=method, factor_kind=factor_kind,
+                      lanczos_tol=(1e-12 if factor_kind != "dense" else None))
     opt = MinFreqOpt(topo)
     data = opt.test_ks_func()
 

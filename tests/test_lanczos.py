@@ -244,3 +244,64 @@ class TestCayley:
         # adjoint dispatch must refuse cayley
         with pytest.raises(ValueError):
             solver.solve_adjoint(jnp.zeros((n, N)))
+
+
+class TestNonConvergence:
+    def test_warns_on_non_convergence(self):
+        """A starved iteration budget must be *surfaced*, not ignored
+        (reference fail flag + eig_res, :1639-1645; VERDICT A3)."""
+        import warnings as _w
+
+        from eigd_tpu.ops.factor import make_shift_factor
+        from eigd_tpu.ops.lanczos import BasicLanczos
+
+        n, N = 60, 8
+        rng = np.random.default_rng(4)
+        Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        w = np.linspace(1.0, 2.0, n)  # clustered spectrum: slow convergence
+        A = jnp.asarray(Q @ np.diag(w) @ Q.T)
+        B = jnp.eye(n)
+        factor = make_shift_factor(A, B, 0.0)
+        solver = BasicLanczos(N=N, m=10, tol=1e-14)
+        with pytest.warns(UserWarning, match="did not converge"):
+            solver.solve(A, B, factor, 0.0)
+        assert solver.fail
+        assert np.any(solver.eig_res > 1e-14)
+
+
+class TestBlockLanczos:
+    def test_block_matches_dense(self):
+        """Block shift-invert Lanczos (p vectors per factor apply) matches
+        the dense oracle and the single-vector path."""
+        import scipy.linalg
+
+        from eigd_tpu.ops.factor import make_shift_factor
+        from eigd_tpu.ops.lanczos import block_lanczos_solve
+
+        n, N, p = 60, 5, 4
+        rng = np.random.default_rng(7)
+        Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        w = np.concatenate([np.linspace(1.0, 6.0, 8),
+                            np.linspace(20.0, 90.0, n - 8)])
+        A = jnp.asarray(Q @ np.diag(w) @ Q.T)
+        B = jnp.eye(n)
+        factor = make_shift_factor(A, B, 0.0)
+        res = block_lanczos_solve(A, B, factor, 0.0, N, 40, p)
+        lam_ref = scipy.linalg.eigh(np.asarray(A), eigvals_only=True)[:N]
+        np.testing.assert_allclose(np.asarray(res.lam), lam_ref, rtol=1e-10)
+        assert float(jnp.max(res.eig_res)) < 1e-8
+
+    def test_block_adaptive_exit(self):
+        from eigd_tpu.ops.factor import make_shift_factor
+        from eigd_tpu.ops.lanczos import block_lanczos_solve
+
+        n, N, p = 80, 4, 4
+        rng = np.random.default_rng(8)
+        Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        w = np.concatenate([np.arange(1.0, 9.0), np.linspace(60, 200, n - 8)])
+        A = jnp.asarray(Q @ np.diag(w) @ Q.T)
+        B = jnp.eye(n)
+        factor = make_shift_factor(A, B, 0.0)
+        res = block_lanczos_solve(A, B, factor, 0.0, N, 72, p, tol=1e-10)
+        assert int(res.niter) < 72  # exited early
+        assert float(jnp.max(res.eig_res)) < 1e-8
