@@ -45,8 +45,9 @@ def make_topo():
 
     return make_model(nx=NX, ny=NY, Lx=2.0, Ly=1.0, N=N_MODES, rfact=2.0,
                       m=M_LANCZOS, factor_kind="bcr_f32", lanczos_tol=1e-11,
-                      lanczos_block=BLOCK,
-                      adjoint_options={"maxiter": 60, "nrestart": 2})
+                      lanczos_block=BLOCK, lanczos_ortho="local",
+                      adjoint_options={"maxiter": 60, "nrestart": 5,
+                                       "mixed": True})
 
 
 def tpu_run():
@@ -74,6 +75,17 @@ def tpu_run():
         g.block_until_ready()
         times.append(time.perf_counter() - t0)
     log(f"steady-state runs: {[round(t, 3) for t in times]}")
+
+    if os.environ.get("EIGD_BENCH_FD"):
+        # central-difference check of the full gradient at bench scale
+        val_fn = jax.jit(objective)
+        pert = jnp.asarray(np.random.default_rng(7).uniform(size=x0.shape))
+        h = 1e-5
+        fd = (float(val_fn(x0 + h * pert))
+              - float(val_fn(x0 - h * pert))) / (2 * h)
+        ans = float(pert @ g)
+        log(f"FD check at bench scale: adjoint={ans:.12e} fd={fd:.12e} "
+            f"rel={abs(ans - fd) / abs(fd):.3e}")
     return min(times), float(v), np.asarray(g)
 
 

@@ -38,7 +38,7 @@ class TopologyAnalysis:
                  m=None, solver_type="lanczos", tol=1e-14, rtol=1e-10,
                  eig_atol=1e-5, adjoint_method="sibk", adjoint_options=None,
                  deriv_type="tensor", factor_kind="dense", grid_shape=None,
-                 lanczos_tol=None, lanczos_block=1):
+                 lanczos_tol=None, lanczos_block=1, lanczos_ortho="full"):
         del solver_type, deriv_type  # single TPU-native solver; always batched
         self.fltr = fltr
         self.conn = jnp.asarray(np.asarray(conn))
@@ -82,7 +82,9 @@ class TopologyAnalysis:
             adjoint_maxiter=adjoint_options.get("maxiter", 60),
             adjoint_rtol=rtol * 1e-2, nrestart=adjoint_options.get(
                 "nrestart", 2), eig_atol=eig_atol,
-            lanczos_tol=lanczos_tol, block=lanczos_block)
+            lanczos_tol=lanczos_tol, block=lanczos_block,
+            lanczos_ortho=lanczos_ortho,
+            adjoint_mixed=adjoint_options.get("mixed", False))
         # Scalable path: never densify — block-tridiagonal Cholesky of the
         # shifted element matrices using the grid line structure, with
         # matrix-free element-operator matvecs everywhere else.

@@ -325,7 +325,7 @@ def _solve_shifted_lstsq(alpha, H0, r):
 def sibk(Phib, A, B, lam, Phi, mode="normal", psi=None, sigma=None,
          factor=None, rtol=1e-10, atol=1e-30, eig_atol=1e-5, maxiter=50,
          nrestart=2, check_every=1, bs_target=None, update_guess=None,
-         callback=None, axis=None):
+         callback=None, axis=None, mixed=False):
     """Shift-invert block Krylov adjoint solver.
 
     TPU-native redesign of reference :1052-1328. The reference advances the N
@@ -348,6 +348,13 @@ def sibk(Phib, A, B, lam, Phi, mode="normal", psi=None, sigma=None,
 
     With ``axis`` set, all DOF-dimension reductions are psum'd over the
     shard_map axis (seed QR becomes CholeskyQR2).
+
+    With ``mixed=True`` the whole ladder (basis, factor applies via
+    ``factor.approx_mv`` when available, GEMMs) runs in f32 while the outer
+    rounds restart on true f64 residuals — GMRES-IR-style mixed precision.
+    Each round then contracts by the f32 solve quality (~1e-5) instead of
+    converging in one, so give it nrestart ~ 4; on TPU an f32 ladder step
+    is ~50x cheaper than f64 (f64 GEMMs are emulated).
 
     Returns (psi, EigCorrection, info) with info = dict(res=(N,) final true
     relative residuals, niter=total ladder steps run, rounds=rounds run,
@@ -401,6 +408,16 @@ def sibk(Phib, A, B, lam, Phi, mode="normal", psi=None, sigma=None,
     eyeK_low = jnp.eye(K + N, K, k=-N, dtype=dtype)
     col = jnp.arange(K + N)
 
+    ldt = jnp.float32 if (mixed and dtype == jnp.float64) else dtype
+    lcast = (lambda x: x.astype(ldt)) if ldt != dtype else (lambda x: x)
+    approx = getattr(factor, "approx_mv", None) if ldt != dtype else None
+    factor_lmv = approx if approx is not None else factor.mv
+    Phi_l = lcast(Phi)
+    BPhi_l = lcast(BPhi)
+
+    def proj_l(X):
+        return X - BPhi_l @ pdot(Phi_l.T, X, axis)
+
     def solve_all(H, r0):
         """Batched shifted lstsq over the (possibly truncated) ladder.
 
@@ -410,10 +427,12 @@ def sibk(Phib, A, B, lam, Phi, mode="normal", psi=None, sigma=None,
         (j, j) would let the least-squares zero the beta-coupling residual
         rows with spurious components and report false convergence.
         """
+        H = H.astype(dtype)
         cn = jnp.sum(H * H, axis=0)
         unit = (cn == 0.0).astype(dtype)
         I_mat = eyeK * (1.0 - unit)[None, :] + eyeK_low * unit[None, :]
-        rhs = jnp.zeros((K + N, N), dtype=dtype).at[:N].set(r0)
+        rhs = jnp.zeros((K + N, N), dtype=dtype).at[:N].set(
+            r0.astype(dtype))
 
         def solve_one(alpha_i, r_i):
             return _lstsq_qr(I_mat - alpha_i * H, r_i)
@@ -422,34 +441,41 @@ def sibk(Phib, A, B, lam, Phi, mode="normal", psi=None, sigma=None,
             alphas, rhs)
 
     def one_round(psi_):
-        R = op_residual(psi_)
+        R = lcast(op_residual(psi_))
+        # A mixed (f32) ladder bottoms out around ~1e-6 of the round's own
+        # residual scale; gate the within-round exit there so the loop
+        # doesn't burn steps it cannot convert into progress.
+        rnorm_round = jnp.sqrt(
+            jnp.max(psum(jnp.sum(R * R, axis=0), axis))).astype(dtype)
+        floor = 3e-6 if ldt != dtype else 0.0
+        tol_round = jnp.maximum(tol, floor * rnorm_round)
         # Seed the block: thin QR of the projected residuals (R is already in
         # the projected subspace, so the Q columns stay there).
         Wseed, r0 = qr_tall(R, axis)  # (n, N), (N, N)
-        W = jnp.zeros((K + N, n), dtype=dtype).at[:N].set(Wseed.T)
-        Z = jnp.zeros((K, n), dtype=dtype) + 0.0 * Wseed[None, :, 0]
-        H = jnp.zeros((K + N, K), dtype=dtype)
+        W = jnp.zeros((K + N, n), dtype=ldt).at[:N].set(Wseed.T)
+        Z = jnp.zeros((K, n), dtype=ldt) + 0.0 * Wseed[None, :, 0]
+        H = jnp.zeros((K + N, K), dtype=ldt)
 
         def step(t, W, Z, H):
             lo = t * N
             Wblk = jax.lax.dynamic_slice_in_dim(W, lo, N, axis=0)  # (N, n)
-            Zblk = factor.mv(Wblk.T)  # (n, N) blocked apply
+            Zblk = lcast(factor_lmv(Wblk.T))  # (n, N) blocked apply
             if mode == "normal":
-                w = proj(B.mv(Zblk))
+                w = proj_l(lcast(B.mv(Zblk)))
             else:
-                w = proj(A.mv(Zblk))
-            mask = (col < lo + N).astype(dtype)
+                w = proj_l(lcast(A.mv(Zblk)))
+            mask = (col < lo + N).astype(ldt)
             h1 = pdot(W, w, axis) * mask[:, None]
             w = w - W.T @ h1
             h2 = pdot(W, w, axis) * mask[:, None]
             w = w - W.T @ h2
-            w = proj(w)
+            w = proj_l(w)
             h = h1 + h2  # ((K+N), N)
             Qb, Rb = qr_tall(w, axis)
             W = jax.lax.dynamic_update_slice_in_dim(W, Qb.T, lo + N, axis=0)
             Z = jax.lax.dynamic_update_slice_in_dim(Z, Zblk.T, lo, axis=0)
-            rowmask = ((col >= lo + N) & (col < lo + 2 * N)).astype(dtype)
-            Rpad = jnp.zeros((K + N, N), dtype=dtype)
+            rowmask = ((col >= lo + N) & (col < lo + 2 * N)).astype(ldt)
+            Rpad = jnp.zeros((K + N, N), dtype=ldt)
             Rpad = jax.lax.dynamic_update_slice(Rpad, Rb, (lo + N, 0))
             h = h * (1.0 - rowmask)[:, None] + Rpad
             H = jax.lax.dynamic_update_slice(H, h, (0, lo))
@@ -469,7 +495,7 @@ def sibk(Phib, A, B, lam, Phi, mode="normal", psi=None, sigma=None,
                 # Ladder columns >= t1*N are zero, so the masked lstsq solves
                 # the truncated systems exactly (zero extra components).
                 _, res = solve_all(H, r0)
-                return jnp.all(res < tol)
+                return jnp.all(res < tol_round)
 
             done = jax.lax.cond(do_check, check, lambda: jnp.asarray(False))
             return t1, done, W, Z, H
@@ -478,7 +504,7 @@ def sibk(Phib, A, B, lam, Phi, mode="normal", psi=None, sigma=None,
         t_end, _, W, Z, H = jax.lax.while_loop(cond, body, carry)
 
         Ymat, resids = solve_all(H, r0)
-        psi_ = psi_ + Z.T @ Ymat
+        psi_ = psi_ + (Z.T @ lcast(Ymat)).astype(dtype)
         return psi_, resids, t_end * N
 
     hist = jnp.full((max(1, nrestart), N), jnp.nan, dtype=dtype)

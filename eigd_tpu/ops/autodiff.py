@@ -55,6 +55,8 @@ class EighGenConfig:
     lanczos_tol: float = None
     axis: str = None
     block: int = 1  # forward Lanczos block size (p vectors per factor apply)
+    adjoint_mixed: bool = False  # f32 SIBK ladder + f64 restarts (GMRES-IR)
+    lanczos_ortho: str = "full"  # "local": 3-term recurrence + Gram-RR
 
 
 # ---------------------------------------------------------------------------
@@ -100,7 +102,7 @@ def solve_eig_adjoint(A, B, res, factor, lam_bar, Phi_bar, cfg):
             Phi_bar, A, B, res.lam, res.Phi, mode=cfg.mode, psi=psi0,
             sigma=res.sigma, factor=factor, rtol=cfg.adjoint_rtol,
             eig_atol=cfg.eig_atol, maxiter=cfg.adjoint_maxiter,
-            nrestart=cfg.nrestart, axis=cfg.axis)
+            nrestart=cfg.nrestart, axis=cfg.axis, mixed=cfg.adjoint_mixed)
     elif cfg.adjoint_method == "pcpg":
         psi, data, _ = adj.pcpg(
             Phi_bar, A, B, res.lam, res.Phi, mode=cfg.mode, psi=psi0,
@@ -192,7 +194,8 @@ def _forward_ops(theta, problem, A, B, cfg):
         res = block_lanczos_solve(A, B, factor, cfg.sigma, cfg.N, cfg.m,
                                   cfg.block, mode=cfg.mode, seed=cfg.seed,
                                   deflate=deflate, axis=cfg.axis,
-                                  tol=cfg.lanczos_tol, v0=v0)
+                                  tol=cfg.lanczos_tol, v0=v0,
+                                  ortho=cfg.lanczos_ortho)
     else:
         res = lanczos_solve(A, B, factor, cfg.sigma, cfg.N, cfg.m,
                             mode=cfg.mode, seed=cfg.seed, deflate=deflate,

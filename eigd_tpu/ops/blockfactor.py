@@ -388,6 +388,11 @@ class RefinedFactor:
     def _approx(self, r):
         return self.inner.mv(r.astype(jnp.float32)).astype(jnp.float64)
 
+    def approx_mv(self, r):
+        """One preconditioner-quality (f32) solve, no refinement — for
+        mixed-precision Krylov ladders that restart on true f64 residuals."""
+        return self.inner.mv(r)
+
     def mv(self, x):
         squeeze = x.ndim == 1
         if squeeze:

@@ -54,17 +54,16 @@ def qr_tall(R, axis):
         # Tiny diagonal regularization keeps the Cholesky finite for
         # (near-)rank-deficient blocks; the resulting r is still a valid
         # representation Q r ~= R at that rank.
-        eps = 1e-14 + 1e-300
+        eps = 50.0 * float(jnp.finfo(R.dtype).eps)
         L = jnp.linalg.cholesky(G + eps * jnp.eye(G.shape[0], dtype=G.dtype))
         Q = solve_triangular(L, Rs.T, lower=True).T
         return Q, L.T * s[None, :]
 
     Q, r1 = cholqr(R)
     # Second pass restores orthogonality; its input is already normalized.
-    cn1 = jnp.ones(R.shape[1], dtype=R.dtype)
+    eps2 = 50.0 * float(jnp.finfo(R.dtype).eps)
     G2 = psum(Q.T @ Q, axis)
     L2 = jnp.linalg.cholesky(
-        G2 + 1e-14 * jnp.eye(G2.shape[0], dtype=G2.dtype))
+        G2 + eps2 * jnp.eye(G2.shape[0], dtype=G2.dtype))
     Q = solve_triangular(L2, Q.T, lower=True).T
-    del cn1
     return Q, (L2.T @ r1)

@@ -454,7 +454,8 @@ def b_qr_tall(X, B_mv, axis=None):
 
 def block_lanczos_solve(A, B, factor, sigma, N, m, p, mode="normal",
                         seed=12345, v0=None, deflate=None, axis=None,
-                        tol=None, check_every=1) -> LanczosResult:
+                        tol=None, check_every=1,
+                        ortho="full") -> LanczosResult:
     """Block shift-invert Lanczos: p Krylov vectors advance per factor apply.
 
     TPU rationale: the factor apply is latency/bandwidth-bound, so a blocked
@@ -465,6 +466,19 @@ def block_lanczos_solve(A, B, factor, sigma, N, m, p, mode="normal",
     measured projected operator exactly like the single-vector path. This
     plays the role ARPACK's (single-vector) IRAM plays for the reference —
     redesigned for the hardware rather than translated.
+
+    ortho="local" orthogonalizes each new block only against the previous
+    two (the true three-term block recurrence — the role of the reference's
+    "selective" mode, :1553-1605, re-derived for TPU where f64 GEMMs against
+    the whole basis are the expensive op). The drifted orthogonality is
+    absorbed EXACTLY by a generalized Rayleigh-Ritz with the measured Gram
+    matrix G = V^T B V: solve (H, G) instead of H, so extraction quality is
+    unaffected; only the Gram's conditioning (Paige growth ~ eps/converged
+    residual) bounds how far past convergence the iteration may run. The
+    stored reduced eigenvectors Y are G-orthonormal, under which every
+    downstream formula (laa's C = Ys^T V Phib and V^T (Ys ...), Phi = V^T Y)
+    is algebraically identical to the orthonormal-basis case — the Gram
+    Cholesky factor cancels — so no consumer changes.
 
     m is rounded up to a multiple of p. The 'dl' adjoint needs the scalar
     three-term chain and therefore requires the single-vector solver.
@@ -503,35 +517,71 @@ def block_lanczos_solve(A, B, factor, sigma, N, m, p, mode="normal",
     Hc = jnp.zeros(((q + 1) * p, mtot), dtype=dtype)  # one-sided coeffs
     col = jnp.arange((q + 1) * p)
 
-    def step(t, V, BV, W_raw, Hc):
+    local = ortho == "local" and dtype == jnp.float64
+    if local:
+        V32 = V.astype(jnp.float32)
+        BV32 = BV.astype(jnp.float32)
+    else:
+        V32 = BV32 = None
+
+    def step(t, V, BV, W_raw, Hc, V32, BV32):
         lo = t * p
         BVblk = jax.lax.dynamic_slice_in_dim(BV, lo, p, axis=0)
         w = factor.mv(BVblk.T)  # (n, p) blocked apply
         W_raw = jax.lax.dynamic_update_slice_in_dim(W_raw, w.T, lo, axis=0)
         w = defl(w)
-        mask = (col < lo + p).astype(dtype)
-        h1 = pdot(BV, w, axis) * mask[:, None]
-        w = w - V.T @ h1
-        h2 = pdot(BV, w, axis) * mask[:, None]
-        w = w - V.T @ h2
+        if local:
+            # Three-term recurrence in f64 (the O(1) coefficients exactly)
+            # against the previous two blocks ...
+            lo2 = jnp.maximum(lo - p, 0)
+            Vp = jax.lax.dynamic_slice_in_dim(V, lo2, 2 * p, axis=0)
+            BVp = jax.lax.dynamic_slice_in_dim(BV, lo2, 2 * p, axis=0)
+            h1l = pdot(BVp, w, axis)
+            w = w - Vp.T @ h1l
+            h2l = pdot(BVp, w, axis)
+            w = w - Vp.T @ h2l
+            hl = h1l + h2l  # (2p, p)
+            h = jnp.zeros(((q + 1) * p, p), dtype=dtype)
+            h = jax.lax.dynamic_update_slice(h, hl, (lo2, 0))
+            # ... plus ONE f32 sweep against the whole basis: bounds the
+            # Paige loss-of-orthogonality drift at the f32 accumulation
+            # floor (~1e-4) so converged directions never re-enter as O(1)
+            # ghosts; the f32-induced span noise is ~6e-8 * |swept
+            # component| ~ 1e-11 — f64 GEMMs against the whole basis (the
+            # 50x-slower op on TPU) are never needed per step.
+            mask32 = (col < lo + p).astype(jnp.float32)
+            w32 = w.astype(jnp.float32)
+            hfar = pdot(BV32, w32, axis) * mask32[:, None]
+            w = w - (V32.T @ hfar).astype(dtype)
+        else:
+            mask = (col < lo + p).astype(dtype)
+            h1 = pdot(BV, w, axis) * mask[:, None]
+            w = w - V.T @ h1
+            h2 = pdot(BV, w, axis) * mask[:, None]
+            w = w - V.T @ h2
+            h = h1 + h2
         w = defl(w)
-        h = h1 + h2
         Qb, BQb, Rb = b_qr_tall(w, B.mv, axis=axis)
         V = jax.lax.dynamic_update_slice_in_dim(V, Qb.T, lo + p, axis=0)
         BV = jax.lax.dynamic_update_slice_in_dim(BV, BQb.T, lo + p, axis=0)
+        if local:
+            V32 = jax.lax.dynamic_update_slice_in_dim(
+                V32, Qb.T.astype(jnp.float32), lo + p, axis=0)
+            BV32 = jax.lax.dynamic_update_slice_in_dim(
+                BV32, BQb.T.astype(jnp.float32), lo + p, axis=0)
         rowmask = ((col >= lo + p) & (col < lo + 2 * p)).astype(dtype)
         Rpad = jnp.zeros(((q + 1) * p, p), dtype=dtype)
         Rpad = jax.lax.dynamic_update_slice(Rpad, Rb, (lo + p, 0))
         h = h * (1.0 - rowmask)[:, None] + Rpad
         Hc = jax.lax.dynamic_update_slice(Hc, h, (0, lo))
-        return V, BV, W_raw, Hc
+        return V, BV, W_raw, Hc, V32, BV32
 
     if tol is None or mode != "normal":
         def body(t, carry):
             return step(t, *carry)
 
-        V, BV, W_raw, Hc = jax.lax.fori_loop(0, q, body,
-                                             (V, BV, W_raw, Hc))
+        V, BV, W_raw, Hc, V32, BV32 = jax.lax.fori_loop(
+            0, q, body, (V, BV, W_raw, Hc, V32, BV32))
         niter = jnp.asarray(mtot)
     else:
         row = jnp.arange(mtot)
@@ -556,18 +606,21 @@ def block_lanczos_solve(A, B, factor, sigma, N, m, p, mode="normal",
             return (t < q) & ~done
 
         def body(carry):
-            t, done, V, BV, W_raw, Hc = carry
-            V, BV, W_raw, Hc = step(t, V, BV, W_raw, Hc)
+            t, done, V, BV, W_raw, Hc, V32, BV32 = carry
+            V, BV, W_raw, Hc, V32, BV32 = step(t, V, BV, W_raw, Hc, V32,
+                                               BV32)
             t1 = t + 1
             min_blocks = -(-N // p) + 1
             do_check = ((t1 % check_every) == 0) & (t1 >= min_blocks)
             done = jax.lax.cond(
                 do_check, lambda: converged(t1, Hc),
                 lambda: jnp.asarray(False))
-            return t1, done, V, BV, W_raw, Hc
+            return t1, done, V, BV, W_raw, Hc, V32, BV32
 
-        carry = (jnp.asarray(0), jnp.asarray(False), V, BV, W_raw, Hc)
-        t_end, _, V, BV, W_raw, Hc = jax.lax.while_loop(cond, body, carry)
+        carry = (jnp.asarray(0), jnp.asarray(False), V, BV, W_raw, Hc,
+                 V32, BV32)
+        t_end, _, V, BV, W_raw, Hc, V32, BV32 = jax.lax.while_loop(
+            cond, body, carry)
         niter = t_end * p
         keep = (jnp.arange((q + 1) * p) < niter)[:, None].astype(dtype)
         V = V * keep
@@ -577,12 +630,46 @@ def block_lanczos_solve(A, B, factor, sigma, N, m, p, mode="normal",
     H = 0.5 * (Hf + Hf.T)
     from .jacobi import eigh_accurate
 
-    theta, Y = eigh_accurate(H)
-    if tol is not None and mode == "normal":
+    guard_tiny = tol is not None
+    if ortho == "local":
+        # Generalized Rayleigh-Ritz with the measured Gram matrix: extracts
+        # exact Ritz pairs from the drifted (non-orthonormal) basis. The
+        # Gram goes singular once converged directions re-enter the
+        # recurrence (Paige loss-of-orthogonality ghosts), so the extraction
+        # is RANK-REVEALING: eigen-decompose G and truncate directions with
+        # Gram eigenvalue below 1e-6 of the largest — redundant copies carry
+        # no new information and are dropped instead of amplified.
+        G = psum(BV[:mtot] @ V[:mtot].T, axis)
+        G = 0.5 * (G + G.T)
+        dg = jnp.diagonal(G)
+        G = G + jnp.diag(jnp.where(dg == 0.0, 1.0, 0.0))  # inactive rows
+        sG, UG = jnp.linalg.eigh(G)
+        keep = sG > 1e-6 * jnp.max(sG)
+        inv_sqrt = jnp.where(keep, 1.0 / jnp.sqrt(jnp.maximum(sG, 1e-300)),
+                             0.0)
+        Wt = UG * inv_sqrt[None, :]  # (mtot, mtot); dropped columns zero
+        Ht = Wt.T @ H @ Wt
+        Ht = 0.5 * (Ht + Ht.T)
+        theta, Yt = eigh_accurate(Ht)
+        Y = Wt @ Yt  # G-orthonormal on the kept subspace
+        guard_tiny = True  # dropped directions carry theta = 0
+    else:
+        theta, Y = eigh_accurate(H)
+    if guard_tiny:
+        # Inactive/truncated directions have theta ~ 0; map them to
+        # lam = +inf so they sort last under either spectral map.
         scale = jnp.max(jnp.abs(theta))
-        lam_all = jnp.where(jnp.abs(theta) > 1e-12 * scale,
-                            1.0 / theta + sigma, jnp.inf)
-        order = jnp.argsort(lam_all)
+        tiny = jnp.abs(theta) <= 1e-12 * scale
+        if mode == "normal":
+            lam_all = jnp.where(tiny, jnp.inf, 1.0 / theta + sigma)
+            order = jnp.argsort(lam_all)
+        elif mode == "buckling":
+            safe_t = jnp.where(tiny, 1.0, theta)
+            lam_all = jnp.where(tiny, jnp.inf,
+                                sigma * safe_t / (safe_t - 1.0))
+            order = jnp.argsort(jnp.where(tiny, 0.0, -1.0 / lam_all))
+        else:
+            raise ValueError(f"Unknown mode {mode!r} for block solver")
     else:
         lam_all, order = map_ritz_values(theta, sigma, mode)
 
