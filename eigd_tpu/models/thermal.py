@@ -33,7 +33,8 @@ class ThermalTopologyAnalysis:
                  beta=1e-6, sigma=-0.1, N=10, m=None, Ntarget=None,
                  solver_type="lanczos", tol=0.0, rtol=1e-10, eig_atol=1e-5,
                  adjoint_method="sibk", adjoint_options=None,
-                 deriv_type="tensor"):
+                 deriv_type="tensor", factor_kind="dense", grid_shape=None,
+                 lanczos_tol=None, lanczos_block=1, lanczos_ortho="full"):
         del solver_type, deriv_type
         self.fltr = fltr
         self.conn = jnp.asarray(np.asarray(conn))
@@ -68,8 +69,44 @@ class ThermalTopologyAnalysis:
             adjoint_method=adjoint_method,
             adjoint_maxiter=adjoint_options.get("maxiter", 60),
             adjoint_rtol=rtol * 1e-2,
-            nrestart=adjoint_options.get("nrestart", 2), eig_atol=eig_atol)
-        self.problem = EigProblem(assemble=self._assemble)
+            nrestart=adjoint_options.get("nrestart", 2), eig_atol=eig_atol,
+            lanczos_tol=lanczos_tol, block=lanczos_block,
+            lanczos_ortho=lanczos_ortho,
+            adjoint_mixed=adjoint_options.get("mixed", False))
+
+        # Scalable path for structured grids: stencil matvecs (ndof=1) and a
+        # block-cyclic-reduction Cholesky factor, exactly as in the
+        # natural-frequency model but for the scalar heat problem.
+        self.grid_shape = tuple(grid_shape) if grid_shape is not None else None
+        factor_fn = None
+        if factor_kind in ("blocktridiag", "blocktridiag_f32", "bcr",
+                           "bcr_f32"):
+            if self.grid_shape is None:
+                raise ValueError(f"factor_kind={factor_kind!r} needs grid_shape")
+            gnx, gny = self.grid_shape
+            use_f32 = factor_kind.endswith("_f32")
+            use_bcr = factor_kind.startswith("bcr")
+
+            def factor_fn(A, B, sig, mode):
+                from ..ops.blockfactor import (BCRFactor, BlockTridiagFactor,
+                                               RefinedFactor,
+                                               grid_block_tridiag)
+                from ..ops.stencil import (GridStencilOperator,
+                                           stencil_from_elements)
+
+                shifted = A.mats - sig * B.mats
+                D, Esub = grid_block_tridiag(shifted, gnx, gny, ndof=1)
+                cls_ = BCRFactor if use_bcr else BlockTridiagFactor
+                if not use_f32:
+                    return cls_.from_blocks(D, Esub)
+                inner = cls_.from_blocks(D.astype(jnp.float32),
+                                         Esub.astype(jnp.float32))
+                Wst = stencil_from_elements(shifted, gnx, gny, 1)
+                op = GridStencilOperator(shifted, A.dofs, A.n, Wst,
+                                         (gnx, gny), 1)
+                return RefinedFactor(inner, op)
+
+        self.problem = EigProblem(assemble=self._assemble, factor=factor_fn)
 
         self.x = 0.95 * jnp.ones(self.fltr.num_design_vars)
         self.Q = None
@@ -89,6 +126,13 @@ class ThermalTopologyAnalysis:
                                     self.nnodes, density=self.density,
                                     heat_capacity=self.heat_capacity,
                                     beta=self.beta)
+        if self.grid_shape is not None:
+            from ..ops.stencil import GridStencilOperator
+
+            K = GridStencilOperator.from_element_operator(
+                K, self.grid_shape, ndof=1)
+            M = GridStencilOperator.from_element_operator(
+                M, self.grid_shape, ndof=1)
         return K, M
 
     def _solve_fn(self, x):
@@ -391,6 +435,7 @@ def make_model(nx=32, ny=32, Lx=1.0, Ly=1.0, rfact=4.0, **kwargs):
             eset.append(i + nx * j)
     element_sets = {"center": np.array(eset, dtype=np.int32)}
 
+    kwargs.setdefault("grid_shape", (nx, ny))
     fltr = NodeFilter(mesh.conn, mesh.X, r0=r0)
     topo = ThermalTopologyAnalysis(fltr, mesh.conn, mesh.X,
                                    element_sets=element_sets, **kwargs)

@@ -31,6 +31,31 @@ def pcolnorms2(X, axis):
     return psum(jnp.sum(X * X, axis=0), axis)
 
 
+def chunked_dot_f32(X, w, axis=None, chunk=8192):
+    """(m, n) @ (n, p) contraction in f32 with f64 accumulation across n-chunks.
+
+    On TPU, a plain f32 matmul accumulates sequentially over ~n/128 tiles, so
+    its error floor is ~(n/128)*eps32 (~2.5e-4 at n=5e5). Splitting n into
+    ``chunk``-sized pieces, contracting each in f32, and summing the partials
+    in f64 drops the floor to ~(chunk/128)*eps32 (~4e-6 at chunk=8192) while
+    keeping f32 matmul throughput — the cheap-but-accurate inner product for
+    mixed-precision orthogonalization sweeps.
+    """
+    X = X.astype(jnp.float32)
+    w = w.astype(jnp.float32)
+    m, n = X.shape
+    p = w.shape[1]
+    if n % chunk != 0 or n <= chunk:
+        out = (X @ w).astype(jnp.float64)
+        return psum(out, axis)
+    nch = n // chunk
+    Xr = X.reshape(m, nch, chunk)
+    wr = w.reshape(nch, chunk, p)
+    parts = jnp.einsum("mck,ckp->cmp", Xr, wr)
+    out = jnp.sum(parts.astype(jnp.float64), axis=0)
+    return psum(out, axis)
+
+
 def qr_tall(R, axis):
     """Thin QR of a DOF-sharded tall (n, k) block.
 

@@ -544,15 +544,19 @@ def block_lanczos_solve(A, B, factor, sigma, N, m, p, mode="normal",
             h = jnp.zeros(((q + 1) * p, p), dtype=dtype)
             h = jax.lax.dynamic_update_slice(h, hl, (lo2, 0))
             # ... plus ONE f32 sweep against the whole basis: bounds the
-            # Paige loss-of-orthogonality drift at the f32 accumulation
-            # floor (~1e-4) so converged directions never re-enter as O(1)
-            # ghosts; the f32-induced span noise is ~6e-8 * |swept
-            # component| ~ 1e-11 — f64 GEMMs against the whole basis (the
-            # 50x-slower op on TPU) are never needed per step.
-            mask32 = (col < lo + p).astype(jnp.float32)
-            w32 = w.astype(jnp.float32)
-            hfar = pdot(BV32, w32, axis) * mask32[:, None]
-            w = w - (V32.T @ hfar).astype(dtype)
+            # Paige loss-of-orthogonality drift at the measurement floor of
+            # the chunk-accumulated f32 inner products (~1e-6) so converged
+            # directions never re-enter as O(1) ghosts; f64 GEMMs against
+            # the whole basis (the 50x-slower op on TPU) are never needed
+            # per step, and the rank-revealing Gram RR below makes the
+            # extraction exact on whatever basis results.
+            from .collective import chunked_dot_f32
+
+            mask64 = (col < lo + p).astype(dtype)
+            hfar = chunked_dot_f32(BV32, w, axis) * mask64[:, None]
+            w = w - (V32.T @ hfar.astype(jnp.float32)).astype(dtype)
+            hfar2 = chunked_dot_f32(BV32, w, axis) * mask64[:, None]
+            w = w - (V32.T @ hfar2.astype(jnp.float32)).astype(dtype)
         else:
             mask = (col < lo + p).astype(dtype)
             h1 = pdot(BV, w, axis) * mask[:, None]

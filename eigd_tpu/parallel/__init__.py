@@ -1,5 +1,4 @@
-from .mesh import make_mesh  # noqa: F401
-from .grid import GridPartition, make_partition  # noqa: F401
+from .grid import GridPartition, make_mesh, make_partition  # noqa: F401
 from .sharded import (  # noqa: F401
     GridHaloOperator,
     SchwarzPCGFactor,

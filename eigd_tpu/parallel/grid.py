@@ -21,6 +21,24 @@ import dataclasses
 import numpy as np
 
 
+def make_mesh(n_devices=None, axis="grid"):
+    """1-D device mesh over the first ``n_devices`` devices.
+
+    The workload's parallel dimensions (SURVEY.md §2.4, §5.7-5.8): the
+    element batch (embarrassingly parallel assembly) and the DOF dimension
+    of the Lanczos basis (psum-reduced tall-skinny matmuls). Collectives
+    ride ICI within a slice; a 2-D mesh (grid x slice) is the natural
+    extension for multi-slice scale-out over DCN.
+    """
+    import jax
+    from jax.sharding import Mesh
+
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis,))
+
+
 @dataclasses.dataclass(frozen=True)
 class GridPartition:
     """Static description of a line-partitioned nx x ny grid.

@@ -178,3 +178,39 @@ class TestRepeatedEigSweep:
                           (jnp.asarray(dlam), jnp.asarray(dPhi)))
         rel = abs(ans - float(dval)) / abs(float(dval))
         assert rel < 5e-7, (epsilon, rel, ans, float(dval))
+
+
+class TestThermalScalable:
+    """Scalar-field scalable path: ndof=1 stencil matvecs + BCR f32 factor."""
+
+    def test_matches_dense_path(self):
+        t1 = make_model(nx=16, ny=16, N=5)
+        t1.initialize()
+        t2 = make_model(nx=16, ny=16, N=5, factor_kind="bcr_f32")
+        t2.initialize()
+        np.testing.assert_allclose(np.asarray(t2.lam), np.asarray(t1.lam),
+                                   rtol=1e-9, atol=1e-10)
+
+    def test_aggregate_fd_scalable(self):
+        # N=4: the mode-4/5 pair of the square domain is degenerate, so an
+        # aggregate window must not straddle it
+        t = make_model(nx=16, ny=16, N=4, factor_kind="bcr_f32",
+                       lanczos_tol=1e-12)
+        t.initialize()
+        node = jnp.asarray([40, 41])
+        t.initialize_adjoint()
+        t.add_eigenvector_aggregate_derivative(1.0, 2.0, node)
+        t.finalize_adjoint()
+        x0 = jnp.asarray(t.x)
+        pert = jnp.asarray(np.random.default_rng(0).uniform(size=x0.shape))
+        h = 1e-6
+
+        def val(x):
+            t.x = x
+            t.initialize()
+            return float(t.get_eigenvector_aggregate(2.0, node))
+
+        fd = (val(x0 + h * pert) - val(x0 - h * pert)) / (2 * h)
+        t.x = x0
+        rel = abs(float(pert @ t.xb) - fd) / abs(fd)
+        assert rel < 5e-6, rel
