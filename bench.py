@@ -77,31 +77,45 @@ def tpu_run():
     log(f"steady-state runs: {[round(t, 3) for t in times]}")
 
     if os.environ.get("EIGD_BENCH_FD"):
-        # central-difference check of the full gradient at bench scale
-        val_fn = jax.jit(objective)
+        # Central-difference check of the full gradient at bench scale.
+        # Reuses the compiled value_and_grad program (a second objective-only
+        # executable would double the HBM footprint), and uses a step large
+        # enough that the solver's ~1e-6 objective-accuracy floor doesn't
+        # swamp the difference quotient.
         pert = jnp.asarray(np.random.default_rng(7).uniform(size=x0.shape))
-        h = 1e-5
-        fd = (float(val_fn(x0 + h * pert))
-              - float(val_fn(x0 - h * pert))) / (2 * h)
         ans = float(pert @ g)
-        log(f"FD check at bench scale: adjoint={ans:.12e} fd={fd:.12e} "
-            f"rel={abs(ans - fd) / abs(fd):.3e}")
+        for h in (1e-2, 1e-3):
+            vp, _ = run(x0 + h * pert)
+            vm, _ = run(x0 - h * pert)
+            fd = (float(vp) - float(vm)) / (2 * h)
+            log(f"FD h={h:.0e}: adjoint={ans:.10e} fd={fd:.10e} "
+                f"rel={abs(ans - fd) / abs(fd):.3e}")
     return min(times), float(v), np.asarray(g)
 
 
-def mfu_estimate(wall):
-    """Rough model FLOP count / wall / peak. Dominant terms: the f32 BCR
-    factor build (~8 nb b^3) and the worst-case factor/matvec applies."""
+def efficiency_estimate(wall):
+    """Roofline estimates. A shift-invert eigensolver is memory-bound, not
+    FLOP-bound: the right roofline is HBM bandwidth on the factor and basis
+    reads, so report both MFU (tiny by construction) and effective HBM BW."""
     b = 2 * (NY + 1)
     nb = NX + 1
     n = nb * b
-    build = 8.0 * nb * b**3  # f32
-    apply_f32 = 2.5 * 2 * nb * b * b  # per vector
-    matvec = 2 * 36 * n  # stencil, per vector
-    napply = (M_LANCZOS + 2 * 60 + 20) * 6  # worst case incl. refinement
-    flops = build + napply * (apply_f32 + matvec)
-    peak = 394e12 / 2  # v5e f32-ish peak (bf16 394 TF/s)
-    return flops / wall / peak
+    blocks_fwd = 16  # typical adaptive exit
+    rounds_adj = 4
+    t_adj = -(-60 // N_MODES)
+    ir = 4  # refinement passes per blocked apply (stagnation-gated)
+    napply = blocks_fwd + rounds_adj * t_adj + 2
+    factor_bytes = 3 * nb * b * b * 4  # BCR levels, f32
+    basis_bytes = 3 * (M_LANCZOS + BLOCK) * n * 8  # V/BV/W_raw, f64
+    stencil_bytes = 2 * n * 36 * 8
+    bytes_moved = (napply * ir * (factor_bytes + stencil_bytes)
+                   + 2 * blocks_fwd * basis_bytes // 3  # f32 sweeps read V32
+                   + 4 * basis_bytes)  # final Gram/H GEMMs + transforms
+    build_flops = 8.0 * nb * b**3
+    apply_flops = napply * ir * (10 * nb * b * b * BLOCK + 72 * n * BLOCK)
+    mfu = (build_flops + apply_flops) / wall / (394e12 / 2)
+    bw = bytes_moved / wall / 819e9
+    return mfu, bw
 
 
 def cpu_baseline():
@@ -150,8 +164,10 @@ def cpu_baseline():
 def main():
     tpu_time, val, grad = tpu_run()
     assert np.all(np.isfinite(grad)), "non-finite gradient"
-    log(f"MFU estimate: {mfu_estimate(tpu_time) * 100:.1f}% "
-        f"(worst-case flop model)")
+    mfu, bw = efficiency_estimate(tpu_time)
+    log(f"efficiency estimate: MFU {mfu * 100:.2f}%, effective HBM BW "
+        f"{bw * 100:.1f}% of peak (memory-bound workload: BW is the "
+        "relevant roofline)")
     try:
         t0 = time.perf_counter()
         base_time, lam = cpu_baseline()

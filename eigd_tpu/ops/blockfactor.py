@@ -402,20 +402,26 @@ class RefinedFactor:
         tol2 = (self.tol**2) * jnp.maximum(nrm2, 1e-300)
 
         y = self._approx(x)
+        big = jnp.full_like(nrm2, jnp.inf)
 
         def cond(carry):
-            k, y, r2 = carry
-            return (k < self.max_refine) & jnp.any(r2 > tol2)
+            k, y, r2, r2_prev = carry
+            # stop on tolerance, iteration cap, or stagnation: refinement
+            # bottoms out at ~eps64 * cond(A), which can sit above tol —
+            # burning the remaining passes buys nothing.
+            improving = jnp.sum(r2) < 0.25 * jnp.sum(r2_prev)
+            return ((k < self.max_refine) & jnp.any(r2 > tol2)
+                    & ((k < 2) | improving))
 
         def body(carry):
-            k, y, _ = carry
+            k, y, r2, _ = carry
             r = x - self.op.mv(y)
             y = y + self._approx(r)
-            r2 = jnp.sum(r * r, axis=0)
-            return k + 1, y, r2
+            r2n = jnp.sum(r * r, axis=0)
+            return k + 1, y, r2n, r2
 
-        _, y, _ = jax.lax.while_loop(
-            cond, body, (jnp.asarray(0), y, jnp.full_like(nrm2, jnp.inf)))
+        _, y, _, _ = jax.lax.while_loop(
+            cond, body, (jnp.asarray(0), y, big, big * 4))
         if squeeze:
             y = y[:, 0]
         return y
