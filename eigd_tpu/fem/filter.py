@@ -83,7 +83,7 @@ class NodeFilter:
 
     def __init__(self, conn, X, r0=1.0, ftype="spatial", dvmap=None,
                  num_design_vars=None, beta=10.0, eta=0.5, projection=False,
-                 kmax: Optional[int] = None):
+                 kmax: Optional[int] = None, grid_shape=None):
         self.conn = np.asarray(conn)
         self.X = np.asarray(X)
         self.nnodes = int(self.conn.max()) + 1
@@ -92,6 +92,7 @@ class NodeFilter:
         self.beta = beta
         self.eta = eta
         self.projection = projection
+        self.grid_shape = tuple(grid_shape) if grid_shape is not None else None
 
         if dvmap is not None and num_design_vars is not None:
             self.dvmap = jnp.asarray(np.asarray(dvmap))
@@ -100,7 +101,29 @@ class NodeFilter:
             self.dvmap = None
             self.num_design_vars = self.nnodes
 
-        if ftype == "spatial":
+        if ftype == "conv":
+            # Uniform-grid spatial filter as a 2D convolution: the (r0 - d)
+            # weight pattern is identical at every node, so the filter is a
+            # fixed small kernel + per-node normalization (computed in-trace
+            # as conv(ones), which reproduces the reference's per-node
+            # normalization over in-domain neighbours, node_filter.py:74-83).
+            # O(kernel^2) constants instead of O(nnodes * kmax) gather
+            # tables — the form that scales to 1M+ nodes.
+            if self.grid_shape is None:
+                raise ValueError("ftype='conv' needs grid_shape")
+            gnx, gny = self.grid_shape
+            hx = (self.X[:, 0].max() - self.X[:, 0].min()) / gnx
+            hy = (self.X[:, 1].max() - self.X[:, 1].min()) / gny
+            rx = int(np.floor(r0 / hx))
+            ry = int(np.floor(r0 / hy))
+            dx = np.arange(-rx, rx + 1) * hx
+            dy = np.arange(-ry, ry + 1) * hy
+            d = np.sqrt(dx[:, None] ** 2 + dy[None, :] ** 2)
+            ker = np.maximum(r0 - d, 0.0)
+            self._kernel = jnp.asarray(ker)
+            self.idx = self.wts = None
+            self._chol = self._Bmat = None
+        elif ftype == "spatial":
             self.idx, self.wts = _spatial_weights(self.X, r0, kmax=kmax)
             self._chol = None
             self._Bmat = None
@@ -111,6 +134,24 @@ class NodeFilter:
             self.idx = self.wts = None
         else:
             raise ValueError(f"Unknown filter type {ftype!r}")
+
+    def _conv_apply(self, xn):
+        gnx, gny = self.grid_shape
+        xg = xn.reshape(gnx + 1, gny + 1)
+        ker = self._kernel
+        kx, ky = ker.shape
+
+        def conv(img):
+            out = jax.lax.conv_general_dilated(
+                img[None, None, :, :], ker[None, None, :, :],
+                window_strides=(1, 1),
+                padding=((kx // 2, kx // 2), (ky // 2, ky // 2)),
+                dimension_numbers=("NCHW", "OIHW", "NCHW"))
+            return out[0, 0]
+
+        num = conv(xg)
+        den = conv(jnp.ones_like(xg))
+        return (num / den).reshape(-1)
 
     # -- pure functional core (differentiable, jittable) -------------------
 
@@ -124,6 +165,8 @@ class NodeFilter:
 
         if self.ftype == "spatial":
             rho = jnp.sum(self.wts * xn[self.idx], axis=1)
+        elif self.ftype == "conv":
+            rho = self._conv_apply(xn)
         else:
             rho = self._chol.mv(self._Bmat @ xn)
 

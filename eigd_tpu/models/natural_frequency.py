@@ -38,7 +38,8 @@ class TopologyAnalysis:
                  m=None, solver_type="lanczos", tol=1e-14, rtol=1e-10,
                  eig_atol=1e-5, adjoint_method="sibk", adjoint_options=None,
                  deriv_type="tensor", factor_kind="dense", grid_shape=None,
-                 lanczos_tol=None, lanczos_block=1, lanczos_ortho="full"):
+                 lanczos_tol=None, lanczos_block=1, lanczos_ortho="full",
+                 uniform_grid=False):
         del solver_type, deriv_type  # single TPU-native solver; always batched
         self.fltr = fltr
         self.conn = jnp.asarray(np.asarray(conn))
@@ -70,6 +71,16 @@ class TopologyAnalysis:
         self.C0 = fem.plane_stress_C0(E, nu)
         self.dofs = fem.element_dof_map(self.conn)
         self.Be, self.He, self.detJ = plane_stress_tables(self.X, self.conn)
+        # On a uniform grid every element has identical quadrature tables:
+        # keep one element's worth and broadcast inside the trace. This
+        # keeps O(1) constants in the compiled program instead of O(nelems)
+        # (the 376 MB of f64 tables at 1M DOF otherwise ship with every
+        # XLA compile payload).
+        self._uniform = bool(uniform_grid)
+        if self._uniform:
+            self.Be = self.Be[:, :1]
+            self.He = self.He[:, :1]
+            self.detJ = self.detJ[:, :1]
 
         # Eigensolve configuration. The reference solves N+3 modes and
         # discards the three rigid-body modes (natural_frequency.py:348,
@@ -109,12 +120,16 @@ class TopologyAnalysis:
                                            stencil_from_elements)
 
                 shifted = A.mats - sig * B.mats
-                D, Esub = grid_block_tridiag(shifted, gnx, gny, ndof=2)
                 cls_ = BCRFactor if use_bcr else BlockTridiagFactor
                 if not use_f32:
+                    D, Esub = grid_block_tridiag(shifted, gnx, gny,
+                                                 ndof=2)
                     return cls_.from_blocks(D, Esub)
-                inner = cls_.from_blocks(D.astype(jnp.float32),
-                                         Esub.astype(jnp.float32))
+                # build the blocks directly in f32: the f64 D/E transients
+                # are the peak-memory term at 1M DOF (~11 GB)
+                D, Esub = grid_block_tridiag(shifted.astype(jnp.float32),
+                                             gnx, gny, ndof=2)
+                inner = cls_.from_blocks(D, Esub)
                 # f64 residual operator for the refinement loop: stencil
                 # matvec (gather-free) of the shifted matrix.
                 Wst = stencil_from_elements(shifted, gnx, gny, 2)
@@ -139,12 +154,32 @@ class TopologyAnalysis:
     # ------------------------------------------------------------------
 
     def _assemble(self, rhoE):
-        K = fem.stiffness_matrix(rhoE, self.Be, self.detJ, self.dofs,
-                                 self.nvars, self.C0, ptype=self.ptype_K,
-                                 p=self.p, q=self.q, rho0=self.rho0_K)
-        M = fem.mass_matrix(rhoE, self.He, self.detJ, self.dofs, self.nvars,
-                            ptype=self.ptype_M, q=self.q, rho0=self.rho0_M,
-                            density=self.density)
+        if self._uniform:
+            # Uniform grid: every element shares ONE reference matrix, so
+            # K.mats = c(rhoE) * Ke0 — no per-element quadrature tables in
+            # the program at all (O(1) constants, O(nelems) work).
+            Ke0 = jnp.einsum("qij,ik,qkl,q->jl", self.Be[:, 0], self.C0,
+                             self.Be[:, 0], self.detJ[:, 0])
+            Me0 = jnp.einsum("qij,qil,q->jl", self.He[:, 0], self.He[:, 0],
+                             self.detJ[:, 0])
+            c = fem.stiffness_interp(rhoE, ptype=self.ptype_K, p=self.p,
+                                     q=self.q, rho0=self.rho0_K)
+            dens = fem.mass_interp(rhoE, ptype=self.ptype_M, q=self.q,
+                                   rho0=self.rho0_M, density=self.density)
+            from ..ops.operators import ElementOperator
+
+            K = ElementOperator(c[:, None, None] * Ke0[None], self.dofs,
+                                self.nvars)
+            M = ElementOperator(dens[:, None, None] * Me0[None], self.dofs,
+                                self.nvars)
+        else:
+            K = fem.stiffness_matrix(rhoE, self.Be, self.detJ, self.dofs,
+                                     self.nvars, self.C0,
+                                     ptype=self.ptype_K,
+                                     p=self.p, q=self.q, rho0=self.rho0_K)
+            M = fem.mass_matrix(rhoE, self.He, self.detJ, self.dofs,
+                                self.nvars, ptype=self.ptype_M, q=self.q,
+                                rho0=self.rho0_M, density=self.density)
         if self.grid_shape is not None:
             # Gather/scatter-free matvecs on the structured grid (stencil.py)
             from ..ops.stencil import GridStencilOperator
@@ -191,12 +226,15 @@ class TopologyAnalysis:
             self._signs = jnp.ones(Q.shape[1])
         self.Q = Q
         self.profile["eigenvalue solve time"] = time.time() - t0
-        # Factor applications are deterministic for the fixed-trip design:
-        # m Lanczos solves forward (the reference counts these through
-        # SpLuOperator.count, eigenvector_derivatives.py:16-22).
-        self.profile["solve preconditioner count"] = self.m
-        self.profile["adjoint preconditioner count"] = (
-            1 + self.cfg.nrestart * self.cfg.adjoint_maxiter)
+        # Factor-application budgets (the reference counts actual applies
+        # through SpLuOperator.count, eigenvector_derivatives.py:16-22;
+        # here the counts are adaptive — upper bounds recorded here, actual
+        # iteration counts recorded by add_check_adjoint_residual).
+        self.profile["solve preconditioner count (max)"] = (
+            self.m if self.cfg.block <= 1
+            else -(-self.m // self.cfg.block))
+        self.profile["adjoint preconditioner count (max)"] = (
+            1 + self.cfg.nrestart * -(-self.cfg.adjoint_maxiter // self.N))
         self.profile["adjoint solution method"] = self.cfg.adjoint_method
         self.profile["natural frequencies"] = np.sqrt(
             np.asarray(self.lam)).tolist()
@@ -433,12 +471,18 @@ def make_model(nx=128, ny=64, Lx=1.0, Ly=1.0, rfact=4.0, N=10, Mx=3, My=3,
     dvmap, ndv, node_sets, element_sets = make_symmetric_dvmap_with_sets(
         mesh, Mx=Mx, My=My, ns=ns, rfact=rfact)
 
+    # conv filter: exact spatial filter on the uniform grid with O(kernel)
+    # constants (scales to 1M+ nodes); pass ftype="spatial" for the general
+    # ELL gather path.
+    ftype = kwargs.pop("ftype", "conv")
     fltr = NodeFilter(mesh.conn, mesh.X, r0=r0, dvmap=dvmap,
-                      num_design_vars=ndv,
+                      num_design_vars=ndv, ftype=ftype,
+                      grid_shape=(nx, ny),
                       projection=kwargs.pop("projection", False),
                       beta=kwargs.pop("b0", 10.0))
 
     kwargs.setdefault("grid_shape", (nx, ny))
+    kwargs.setdefault("uniform_grid", True)
 
     topo = TopologyAnalysis(fltr, mesh.conn, mesh.X, N=N,
                             node_sets=node_sets, element_sets=element_sets,

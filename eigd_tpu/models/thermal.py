@@ -95,12 +95,16 @@ class ThermalTopologyAnalysis:
                                            stencil_from_elements)
 
                 shifted = A.mats - sig * B.mats
-                D, Esub = grid_block_tridiag(shifted, gnx, gny, ndof=1)
                 cls_ = BCRFactor if use_bcr else BlockTridiagFactor
                 if not use_f32:
+                    D, Esub = grid_block_tridiag(shifted, gnx, gny,
+                                                 ndof=1)
                     return cls_.from_blocks(D, Esub)
-                inner = cls_.from_blocks(D.astype(jnp.float32),
-                                         Esub.astype(jnp.float32))
+                # build the blocks directly in f32: the f64 D/E transients
+                # are the peak-memory term at 1M DOF (~11 GB)
+                D, Esub = grid_block_tridiag(shifted.astype(jnp.float32),
+                                             gnx, gny, ndof=1)
+                inner = cls_.from_blocks(D, Esub)
                 Wst = stencil_from_elements(shifted, gnx, gny, 1)
                 op = GridStencilOperator(shifted, A.dofs, A.n, Wst,
                                          (gnx, gny), 1)

@@ -145,3 +145,40 @@ class TestNodeFilter:
         # frozen nodes pull toward 1.0 through projection
         g = fltr.apply_gradient(jnp.ones(mesh.nnodes), x)
         assert g.shape == (mesh.nnodes - 5,)
+
+
+class TestConvFilter:
+    def test_conv_matches_spatial_on_uniform_grid(self):
+        """The convolution form of the spatial filter (O(kernel) constants)
+        is exact on uniform grids, including the per-node boundary
+        normalization (reference node_filter.py:74-83)."""
+        from eigd_tpu.fem.filter import NodeFilter
+        from eigd_tpu.fem.model import make_grid
+
+        nx, ny = 20, 12
+        grid = make_grid(nx, ny, 2.0, 1.0)
+        r0 = 2.0 * (1.0 / ny)
+        f1 = NodeFilter(grid.conn, grid.X, r0=r0)
+        f2 = NodeFilter(grid.conn, grid.X, r0=r0, ftype="conv",
+                        grid_shape=(nx, ny))
+        x = jnp.asarray(np.random.default_rng(0).uniform(size=grid.nnodes))
+        np.testing.assert_allclose(np.asarray(f1.apply(x)),
+                                   np.asarray(f2.apply(x)), atol=1e-14)
+
+    def test_uniform_assembly_matches_general(self):
+        """make_model's uniform-grid analytic assembly (one reference element
+        matrix scaled per element) equals the general quadrature path."""
+        from eigd_tpu.models.natural_frequency import make_model
+
+        t1 = make_model(nx=16, ny=8, Lx=2.0, Ly=1.0, N=4, uniform_grid=True)
+        t2 = make_model(nx=16, ny=8, Lx=2.0, Ly=1.0, N=4, uniform_grid=False)
+        rho = t1.fltr.apply(t1.x)
+        from eigd_tpu.fem import assembly as fem
+
+        rhoE = fem.element_density(rho, t1.conn)
+        K1, M1 = t1._assemble(rhoE)
+        K2, M2 = t2._assemble(rhoE)
+        np.testing.assert_allclose(np.asarray(K1.mats), np.asarray(K2.mats),
+                                   atol=1e-13)
+        np.testing.assert_allclose(np.asarray(M1.mats), np.asarray(M2.mats),
+                                   atol=1e-13)
