@@ -34,6 +34,10 @@ NY = int(os.environ.get("EIGD_BENCH_NY", 256))
 N_MODES = 6
 BLOCK = 8  # forward Lanczos block size: 8 Krylov vectors per factor apply
 M_LANCZOS = BLOCK * 22  # adaptive exit typically stops around 14-17 blocks
+# mg: multigrid-PCG factor — O(n) memory (the only factor that fits 1M DOF
+# on one 16 GB chip) and applies at HBM-bandwidth of the stencil instead of
+# the stored-factor reads. bcr_f32 remains available for A/B runs.
+FACTOR = os.environ.get("EIGD_BENCH_FACTOR", "mg")
 
 
 def log(*a):
@@ -44,7 +48,7 @@ def make_topo():
     from eigd_tpu.models.natural_frequency import make_model
 
     return make_model(nx=NX, ny=NY, Lx=2.0, Ly=1.0, N=N_MODES, rfact=2.0,
-                      m=M_LANCZOS, factor_kind="bcr_f32", lanczos_tol=1e-11,
+                      m=M_LANCZOS, factor_kind=FACTOR, lanczos_tol=1e-11,
                       lanczos_block=BLOCK, lanczos_ortho="local",
                       adjoint_options={"maxiter": 60, "nrestart": 5,
                                        "mixed": True})

@@ -23,8 +23,29 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # expensive (especially for the f64 CPU test configuration); cache them across
 # processes. Disable with EIGD_TPU_NO_COMPILE_CACHE=1.
 if not os.environ.get("EIGD_TPU_NO_COMPILE_CACHE"):
+    # Key the cache by the host CPU identity: XLA:CPU stores AOT machine
+    # code, and an entry compiled on a host with different ISA features is
+    # loaded with a "could lead to execution errors such as SIGILL" error —
+    # observed here as silently wrong numerics, not just crashes.
+    def _host_tag():
+        import hashlib
+        import platform
+
+        tag = platform.machine()
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith("flags"):
+                        tag += hashlib.sha1(
+                            line.encode()).hexdigest()[:8]
+                        break
+        except OSError:  # pragma: no cover - non-Linux
+            pass
+        return tag
+
     _cache_dir = os.environ.get(
-        "EIGD_TPU_COMPILE_CACHE", os.path.expanduser("~/.cache/eigd_tpu_xla")
+        "EIGD_TPU_COMPILE_CACHE",
+        os.path.expanduser(f"~/.cache/eigd_tpu_xla_{_host_tag()}"),
     )
     try:
         os.makedirs(_cache_dir, exist_ok=True)

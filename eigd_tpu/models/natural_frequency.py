@@ -104,8 +104,25 @@ class TopologyAnalysis:
         # iterative refinement against the matrix-free f64 operator.
         factor_fn = None
         self.grid_shape = grid_shape
-        if factor_kind in ("blocktridiag", "blocktridiag_f32", "bcr",
-                           "bcr_f32"):
+        if factor_kind == "mg":
+            # O(n)-memory shift-invert factor: geometric-multigrid
+            # preconditioned CG on the 9-point grid stencil. The only factor
+            # that fits 1M+ DOF on one chip (any direct block factor stores
+            # O(nx * b^2) ~ 13 GB f32 at 1M DOF); also the factor whose
+            # apply cost rides HBM bandwidth instead of factor reads.
+            if grid_shape is None:
+                raise ValueError("factor_kind='mg' needs grid_shape")
+
+            def factor_fn(A, B, sig, mode):
+                from ..ops.multigrid import GridMGFactor
+
+                # A, B are GridStencilOperators on this path: the shifted
+                # stencil is a single AXPY of the cached stencils.
+                Wst = A.W - sig * B.W
+                return GridMGFactor.build(Wst, self.grid_shape, 2)
+
+        elif factor_kind in ("blocktridiag", "blocktridiag_f32", "bcr",
+                             "bcr_f32"):
             if grid_shape is None:
                 raise ValueError(f"factor_kind={factor_kind!r} needs grid_shape")
             gnx, gny = grid_shape

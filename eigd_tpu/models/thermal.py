@@ -79,8 +79,20 @@ class ThermalTopologyAnalysis:
         # natural-frequency model but for the scalar heat problem.
         self.grid_shape = tuple(grid_shape) if grid_shape is not None else None
         factor_fn = None
-        if factor_kind in ("blocktridiag", "blocktridiag_f32", "bcr",
-                           "bcr_f32"):
+        if factor_kind == "mg":
+            # O(n)-memory multigrid-PCG factor (see natural_frequency.py);
+            # scalar heat stencil, ndof=1.
+            if self.grid_shape is None:
+                raise ValueError("factor_kind='mg' needs grid_shape")
+
+            def factor_fn(A, B, sig, mode):
+                from ..ops.multigrid import GridMGFactor
+
+                Wst = A.W - sig * B.W
+                return GridMGFactor.build(Wst, self.grid_shape, 1)
+
+        elif factor_kind in ("blocktridiag", "blocktridiag_f32", "bcr",
+                             "bcr_f32"):
             if self.grid_shape is None:
                 raise ValueError(f"factor_kind={factor_kind!r} needs grid_shape")
             gnx, gny = self.grid_shape

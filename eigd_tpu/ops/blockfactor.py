@@ -50,8 +50,8 @@ def grid_block_tridiag(mats, nx, ny, ndof=2):
             col[:, ndof * a + d] = ndof * (j_idx + node_joff[a]) + d
             line[ndof * a + d] = node_line[a]
     col = jnp.asarray(col)
-    line_mask0 = jnp.asarray((line == 0).astype(np.float64))
-    line_mask1 = jnp.asarray((line == 1).astype(np.float64))
+    line_mask0 = jnp.asarray((line == 0), dtype=mats.dtype)
+    line_mask1 = jnp.asarray((line == 1), dtype=mats.dtype)
 
     # Split each element matrix into the four line-block pieces and
     # scatter-add into (b, b) blocks per column of elements.
