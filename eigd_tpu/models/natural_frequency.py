@@ -56,6 +56,18 @@ class TopologyAnalysis:
 
         if m is None:
             m = max(3 * N + 1, 60)
+        if lanczos_block > 1 and m // lanczos_block < 2 * N + 6:
+            # Block Krylov convergence is governed by the polynomial DEGREE
+            # q = m / block, not the subspace size m: p vectors per step
+            # buy robustness to clustered modes, not depth. A too-small q
+            # returns unconverged eigenpairs — and the custom-VJP adjoint
+            # then produces garbage gradients without any error.
+            import warnings
+
+            warnings.warn(
+                f"m={m} with lanczos_block={lanczos_block} gives only "
+                f"q={m // lanczos_block} block steps for N={N} modes; "
+                f"expect non-convergence below q ~ 2N+6.")
         self.m = m
 
         self.E = E

@@ -45,14 +45,28 @@ def chunked_dot_f32(X, w, axis=None, chunk=8192):
     w = w.astype(jnp.float32)
     m, n = X.shape
     p = w.shape[1]
-    if n % chunk != 0 or n <= chunk:
+    nch = n // chunk
+    if nch < 2:
         out = (X @ w).astype(jnp.float64)
         return psum(out, axis)
-    nch = n // chunk
-    Xr = X.reshape(m, nch, chunk)
-    wr = w.reshape(nch, chunk, p)
-    parts = jnp.einsum("mck,ckp->cmp", Xr, wr)
+    # Batched dot with the chunk axis LEADING on both operands: the
+    # canonical dot_general form that lowers to a tiled batched matmul.
+    # (An einsum with the batch axis in the middle of X was lowered by
+    # XLA:TPU as a broadcast-multiply — a (p, n, m) temporary, 13.5 GB at
+    # 1M DOF.) The (nch, m, chunk) transpose of X costs one m*n f32 copy
+    # at memory bandwidth. A non-divisible tail is contracted separately
+    # and added in f64 — it must NOT silently fall back to one plain f32
+    # GEMM over all of n, which loses the accuracy guarantee exactly at
+    # large n where it matters.
+    n_main = nch * chunk
+    Xr = X[:, :n_main].reshape(m, nch, chunk).transpose(1, 0, 2)
+    wr = w[:n_main].reshape(nch, chunk, p)
+    parts = jax.lax.dot_general(
+        Xr, wr, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (nch, m, p)
     out = jnp.sum(parts.astype(jnp.float64), axis=0)
+    if n_main < n:
+        out = out + (X[:, n_main:] @ w[n_main:]).astype(jnp.float64)
     return psum(out, axis)
 
 

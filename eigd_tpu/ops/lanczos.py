@@ -513,7 +513,14 @@ def block_lanczos_solve(A, B, factor, sigma, N, m, p, mode="normal",
     Q0, BQ0, _ = b_qr_tall(defl(v0), B.mv, axis=axis)
     V = jnp.zeros(((q + 1) * p, n), dtype=dtype).at[:p].set(Q0.T)
     BV = jnp.zeros(((q + 1) * p, n), dtype=dtype).at[:p].set(BQ0.T)
-    W_raw = jnp.zeros((mtot, n), dtype=dtype) + 0.0 * v0[None, :, 0]
+    # Measured projected operator, accumulated INCREMENTALLY: column block t
+    # is H[:, t] = BV . w_t, computed at step t while the raw operator
+    # output w_t is live — the (mtot, n) W_raw array the one-shot
+    # Hf = BV @ W_raw.T measurement needed (1.5 GB + a loop double-buffer
+    # at 1M DOF) never exists. Rows above the current block are zero (BV
+    # rows not yet written) and are recovered by symmetry afterwards; every
+    # entry of the final H is still a direct f64 measurement.
+    Hraw = jnp.zeros(((q + 1) * p, mtot), dtype=dtype)
     Hc = jnp.zeros(((q + 1) * p, mtot), dtype=dtype)  # one-sided coeffs
     col = jnp.arange((q + 1) * p)
 
@@ -524,12 +531,23 @@ def block_lanczos_solve(A, B, factor, sigma, N, m, p, mode="normal",
     else:
         V32 = BV32 = None
 
-    def step(t, V, BV, W_raw, Hc, V32, BV32):
+    def step(t, V, BV, Hraw, Hc, V32, BV32):
         lo = t * p
         BVblk = jax.lax.dynamic_slice_in_dim(BV, lo, p, axis=0)
         w = factor.mv(BVblk.T)  # (n, p) blocked apply
-        W_raw = jax.lax.dynamic_update_slice_in_dim(W_raw, w.T, lo, axis=0)
+        hraw = pdot(BV, w, axis)  # ((q+1)p, p); zero above row lo+p
+        Hraw = jax.lax.dynamic_update_slice(Hraw, hraw, (0, lo))
         w = defl(w)
+        # All basis contractions below use dot_general over the stored
+        # (rows, n) layout directly — user-level ``V.T @ h`` transposes were
+        # materialized by XLA:TPU as (n, rows) f64 copies (4 of them live at
+        # once = the 8 GB "f32[8,n,176]" plane bundle in the 1M-DOF OOM).
+        def rows_T_dot(Vrows, h):
+            # (rows, n)^T @ (rows, k) -> (n, k) without transposing Vrows
+            return jax.lax.dot_general(
+                Vrows, h, (((0,), (0,)), ((), ())),
+                preferred_element_type=Vrows.dtype)
+
         if local:
             # Three-term recurrence in f64 (the O(1) coefficients exactly)
             # against the previous two blocks ...
@@ -537,9 +555,9 @@ def block_lanczos_solve(A, B, factor, sigma, N, m, p, mode="normal",
             Vp = jax.lax.dynamic_slice_in_dim(V, lo2, 2 * p, axis=0)
             BVp = jax.lax.dynamic_slice_in_dim(BV, lo2, 2 * p, axis=0)
             h1l = pdot(BVp, w, axis)
-            w = w - Vp.T @ h1l
+            w = w - rows_T_dot(Vp, h1l)
             h2l = pdot(BVp, w, axis)
-            w = w - Vp.T @ h2l
+            w = w - rows_T_dot(Vp, h2l)
             hl = h1l + h2l  # (2p, p)
             h = jnp.zeros(((q + 1) * p, p), dtype=dtype)
             h = jax.lax.dynamic_update_slice(h, hl, (lo2, 0))
@@ -554,15 +572,15 @@ def block_lanczos_solve(A, B, factor, sigma, N, m, p, mode="normal",
 
             mask64 = (col < lo + p).astype(dtype)
             hfar = chunked_dot_f32(BV32, w, axis) * mask64[:, None]
-            w = w - (V32.T @ hfar.astype(jnp.float32)).astype(dtype)
+            w = w - rows_T_dot(V32, hfar.astype(jnp.float32)).astype(dtype)
             hfar2 = chunked_dot_f32(BV32, w, axis) * mask64[:, None]
-            w = w - (V32.T @ hfar2.astype(jnp.float32)).astype(dtype)
+            w = w - rows_T_dot(V32, hfar2.astype(jnp.float32)).astype(dtype)
         else:
             mask = (col < lo + p).astype(dtype)
             h1 = pdot(BV, w, axis) * mask[:, None]
-            w = w - V.T @ h1
+            w = w - rows_T_dot(V, h1)
             h2 = pdot(BV, w, axis) * mask[:, None]
-            w = w - V.T @ h2
+            w = w - rows_T_dot(V, h2)
             h = h1 + h2
         w = defl(w)
         Qb, BQb, Rb = b_qr_tall(w, B.mv, axis=axis)
@@ -578,14 +596,14 @@ def block_lanczos_solve(A, B, factor, sigma, N, m, p, mode="normal",
         Rpad = jax.lax.dynamic_update_slice(Rpad, Rb, (lo + p, 0))
         h = h * (1.0 - rowmask)[:, None] + Rpad
         Hc = jax.lax.dynamic_update_slice(Hc, h, (0, lo))
-        return V, BV, W_raw, Hc, V32, BV32
+        return V, BV, Hraw, Hc, V32, BV32
 
     if tol is None or mode != "normal":
         def body(t, carry):
             return step(t, *carry)
 
-        V, BV, W_raw, Hc, V32, BV32 = jax.lax.fori_loop(
-            0, q, body, (V, BV, W_raw, Hc, V32, BV32))
+        V, BV, Hraw, Hc, V32, BV32 = jax.lax.fori_loop(
+            0, q, body, (V, BV, Hraw, Hc, V32, BV32))
         niter = jnp.asarray(mtot)
     else:
         row = jnp.arange(mtot)
@@ -610,28 +628,35 @@ def block_lanczos_solve(A, B, factor, sigma, N, m, p, mode="normal",
             return (t < q) & ~done
 
         def body(carry):
-            t, done, V, BV, W_raw, Hc, V32, BV32 = carry
-            V, BV, W_raw, Hc, V32, BV32 = step(t, V, BV, W_raw, Hc, V32,
-                                               BV32)
+            t, done, V, BV, Hraw, Hc, V32, BV32 = carry
+            V, BV, Hraw, Hc, V32, BV32 = step(t, V, BV, Hraw, Hc, V32,
+                                              BV32)
             t1 = t + 1
             min_blocks = -(-N // p) + 1
             do_check = ((t1 % check_every) == 0) & (t1 >= min_blocks)
             done = jax.lax.cond(
                 do_check, lambda: converged(t1, Hc),
                 lambda: jnp.asarray(False))
-            return t1, done, V, BV, W_raw, Hc, V32, BV32
+            return t1, done, V, BV, Hraw, Hc, V32, BV32
 
-        carry = (jnp.asarray(0), jnp.asarray(False), V, BV, W_raw, Hc,
+        carry = (jnp.asarray(0), jnp.asarray(False), V, BV, Hraw, Hc,
                  V32, BV32)
-        t_end, _, V, BV, W_raw, Hc, V32, BV32 = jax.lax.while_loop(
+        t_end, _, V, BV, Hraw, Hc, V32, BV32 = jax.lax.while_loop(
             cond, body, carry)
         niter = t_end * p
-        keep = (jnp.arange((q + 1) * p) < niter)[:, None].astype(dtype)
-        V = V * keep
-        BV = BV * keep
+        # No row masking needed: Hraw rows/cols past niter are structurally
+        # zero (the incremental fill never writes them), so the inactive
+        # block is exactly decoupled; the V/BV rows of the final unused QR
+        # block carry theta = 0 directions that guard_tiny sorts last.
 
-    Hf = psum(BV[:mtot] @ W_raw.T, axis)
-    H = 0.5 * (Hf + Hf.T)
+    # Symmetric completion of the incrementally measured projected operator:
+    # entries above the current block at measurement time come from their
+    # (independently measured) mirror images.
+    blk = jnp.arange(mtot) // p
+    filled = blk[:, None] <= blk[None, :]
+    Hr = Hraw[:mtot]
+    Hm = jnp.where(filled, Hr, Hr.T)
+    H = 0.5 * (Hm + Hm.T)
     from .jacobi import eigh_accurate
 
     guard_tiny = tol is not None
@@ -643,7 +668,10 @@ def block_lanczos_solve(A, B, factor, sigma, N, m, p, mode="normal",
         # is RANK-REVEALING: eigen-decompose G and truncate directions with
         # Gram eigenvalue below 1e-6 of the largest — redundant copies carry
         # no new information and are dropped instead of amplified.
-        G = psum(BV[:mtot] @ V[:mtot].T, axis)
+        # NT gemm over the DOF dim in native (rows, n) layout (no V.T copy)
+        G = psum(jax.lax.dot_general(
+            BV[:mtot], V[:mtot], (((1,), (1,)), ((), ())),
+            preferred_element_type=dtype), axis)
         G = 0.5 * (G + G.T)
         dg = jnp.diagonal(G)
         G = G + jnp.diag(jnp.where(dg == 0.0, 1.0, 0.0))  # inactive rows
@@ -680,11 +708,18 @@ def block_lanczos_solve(A, B, factor, sigma, N, m, p, mode="normal",
     sel = order[:N]
     lam = lam_all[sel]
     Y0 = Y[:, sel]
-    Phi = V[:mtot].T @ Y0
-    # residual per selected mode in theta space: || Op phi - theta phi ||_B
-    OpPhi = W_raw.T @ Y0
-    Rm = OpPhi - Phi * theta[sel][None, :]
-    eig_res = jnp.sqrt(jnp.abs(psum(jnp.sum(Rm * B.mv(Rm), axis=0), axis)))
+    # TN gemm: contract the row dim of V directly (no (n, mtot) V.T copy)
+    Phi = jax.lax.dot_general(V[:mtot], Y0, (((0,), (0,)), ((), ())),
+                              preferred_element_type=dtype)
+    # Residual per selected mode in theta space via the last active block's
+    # coupling (the classical block-Lanczos bound ||R_end Y_last||; the
+    # basis is B-orthonormal to within the local-ortho drift): exactly the
+    # quantity the adaptive exit tests, now without the (mtot, n) raw-output
+    # array the explicit ||Op phi - theta phi||_B form needed.
+    lo_end = jnp.clip(niter - p, 0, mtot - p)
+    Rblk = jax.lax.dynamic_slice(Hc, (lo_end + p, lo_end), (p, p))
+    Ylast = jax.lax.dynamic_slice_in_dim(Y0, lo_end, p, axis=0)
+    eig_res = jnp.sqrt(jnp.sum((Rblk @ Ylast) ** 2, axis=0))
 
     zeros_m = jnp.zeros(mtot, dtype=dtype)
     return LanczosResult(
