@@ -34,10 +34,12 @@ NY = int(os.environ.get("EIGD_BENCH_NY", 256))
 N_MODES = 6
 BLOCK = 8  # forward Lanczos block size: 8 Krylov vectors per factor apply
 M_LANCZOS = BLOCK * 22  # adaptive exit typically stops around 14-17 blocks
-# mg: multigrid-PCG factor — O(n) memory (the only factor that fits 1M DOF
-# on one 16 GB chip) and applies at HBM-bandwidth of the stencil instead of
-# the stored-factor reads. bcr_f32 remains available for A/B runs.
-FACTOR = os.environ.get("EIGD_BENCH_FACTOR", "mg")
+# Factor selection: the block-cyclic-reduction direct factor wins while its
+# O(nx * b^2) storage fits HBM (measured 4.98 s vs 14.4 s for mg at 263k
+# DOF); the O(n)-memory multigrid factor is the only one that fits 1M DOF
+# on a 16 GB chip. Override with EIGD_BENCH_FACTOR.
+_default_factor = "bcr_f32" if 2 * (NX + 1) * (NY + 1) < 500_000 else "mg"
+FACTOR = os.environ.get("EIGD_BENCH_FACTOR", _default_factor)
 
 
 def log(*a):

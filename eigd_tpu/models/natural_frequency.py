@@ -39,7 +39,7 @@ class TopologyAnalysis:
                  eig_atol=1e-5, adjoint_method="sibk", adjoint_options=None,
                  deriv_type="tensor", factor_kind="dense", grid_shape=None,
                  lanczos_tol=None, lanczos_block=1, lanczos_ortho="full",
-                 uniform_grid=False):
+                 uniform_grid=False, factor_options=None):
         del solver_type, deriv_type  # single TPU-native solver; always batched
         self.fltr = fltr
         self.conn = jnp.asarray(np.asarray(conn))
@@ -125,13 +125,16 @@ class TopologyAnalysis:
             if grid_shape is None:
                 raise ValueError("factor_kind='mg' needs grid_shape")
 
+            mg_opts = dict(factor_options or {})
+
             def factor_fn(A, B, sig, mode):
                 from ..ops.multigrid import GridMGFactor
 
                 # A, B are GridStencilOperators on this path: the shifted
                 # stencil is a single AXPY of the cached stencils.
                 Wst = A.W - sig * B.W
-                return GridMGFactor.build(Wst, self.grid_shape, 2)
+                return GridMGFactor.build(Wst, self.grid_shape, 2,
+                                          **mg_opts)
 
         elif factor_kind in ("blocktridiag", "blocktridiag_f32", "bcr",
                              "bcr_f32"):

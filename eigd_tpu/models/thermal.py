@@ -34,7 +34,8 @@ class ThermalTopologyAnalysis:
                  solver_type="lanczos", tol=0.0, rtol=1e-10, eig_atol=1e-5,
                  adjoint_method="sibk", adjoint_options=None,
                  deriv_type="tensor", factor_kind="dense", grid_shape=None,
-                 lanczos_tol=None, lanczos_block=1, lanczos_ortho="full"):
+                 lanczos_tol=None, lanczos_block=1, lanczos_ortho="full",
+                 factor_options=None):
         del solver_type, deriv_type
         self.fltr = fltr
         self.conn = jnp.asarray(np.asarray(conn))
@@ -85,11 +86,14 @@ class ThermalTopologyAnalysis:
             if self.grid_shape is None:
                 raise ValueError("factor_kind='mg' needs grid_shape")
 
+            mg_opts = dict(factor_options or {})
+
             def factor_fn(A, B, sig, mode):
                 from ..ops.multigrid import GridMGFactor
 
                 Wst = A.W - sig * B.W
-                return GridMGFactor.build(Wst, self.grid_shape, 1)
+                return GridMGFactor.build(Wst, self.grid_shape, 1,
+                                          **mg_opts)
 
         elif factor_kind in ("blocktridiag", "blocktridiag_f32", "bcr",
                              "bcr_f32"):

@@ -528,10 +528,18 @@ def block_lanczos_solve(A, B, factor, sigma, N, m, p, mode="normal",
     if local:
         V32 = V.astype(jnp.float32)
         BV32 = BV.astype(jnp.float32)
+        # Measured Gram matrix, accumulated incrementally like Hraw: the
+        # one-shot G = BV @ V^T NT gemm after the loop made XLA:TPU's f64
+        # emulation materialize split f32 copies of both (mtot, n) operands
+        # (~11 GB live at 1M DOF). Column block tb is BV . v-block_tb,
+        # computed the moment the block is written; mirror by symmetry.
+        Graw = jnp.zeros(((q + 1) * p, mtot), dtype=dtype)
+        Graw = jax.lax.dynamic_update_slice(
+            Graw, pdot(BV, Q0, axis), (0, 0))
     else:
-        V32 = BV32 = None
+        V32 = BV32 = Graw = None
 
-    def step(t, V, BV, Hraw, Hc, V32, BV32):
+    def step(t, V, BV, Hraw, Graw, Hc, V32, BV32):
         lo = t * p
         BVblk = jax.lax.dynamic_slice_in_dim(BV, lo, p, axis=0)
         w = factor.mv(BVblk.T)  # (n, p) blocked apply
@@ -591,19 +599,28 @@ def block_lanczos_solve(A, B, factor, sigma, N, m, p, mode="normal",
                 V32, Qb.T.astype(jnp.float32), lo + p, axis=0)
             BV32 = jax.lax.dynamic_update_slice_in_dim(
                 BV32, BQb.T.astype(jnp.float32), lo + p, axis=0)
+            # Gram column block of the freshly written basis block; only
+            # the first mtot columns are consumed (the final q-th block's
+            # columns fall outside G[:mtot, :mtot]).
+            gcol = pdot(BV, Qb, axis)
+            safe_lo = jnp.minimum(lo + p, mtot - p)
+            gcol = jnp.where(lo + p < mtot, gcol,
+                             jax.lax.dynamic_slice(
+                                 Graw, (0, safe_lo), gcol.shape))
+            Graw = jax.lax.dynamic_update_slice(Graw, gcol, (0, safe_lo))
         rowmask = ((col >= lo + p) & (col < lo + 2 * p)).astype(dtype)
         Rpad = jnp.zeros(((q + 1) * p, p), dtype=dtype)
         Rpad = jax.lax.dynamic_update_slice(Rpad, Rb, (lo + p, 0))
         h = h * (1.0 - rowmask)[:, None] + Rpad
         Hc = jax.lax.dynamic_update_slice(Hc, h, (0, lo))
-        return V, BV, Hraw, Hc, V32, BV32
+        return V, BV, Hraw, Graw, Hc, V32, BV32
 
     if tol is None or mode != "normal":
         def body(t, carry):
             return step(t, *carry)
 
-        V, BV, Hraw, Hc, V32, BV32 = jax.lax.fori_loop(
-            0, q, body, (V, BV, Hraw, Hc, V32, BV32))
+        V, BV, Hraw, Graw, Hc, V32, BV32 = jax.lax.fori_loop(
+            0, q, body, (V, BV, Hraw, Graw, Hc, V32, BV32))
         niter = jnp.asarray(mtot)
     else:
         row = jnp.arange(mtot)
@@ -628,20 +645,20 @@ def block_lanczos_solve(A, B, factor, sigma, N, m, p, mode="normal",
             return (t < q) & ~done
 
         def body(carry):
-            t, done, V, BV, Hraw, Hc, V32, BV32 = carry
-            V, BV, Hraw, Hc, V32, BV32 = step(t, V, BV, Hraw, Hc, V32,
-                                              BV32)
+            t, done, V, BV, Hraw, Graw, Hc, V32, BV32 = carry
+            V, BV, Hraw, Graw, Hc, V32, BV32 = step(
+                t, V, BV, Hraw, Graw, Hc, V32, BV32)
             t1 = t + 1
             min_blocks = -(-N // p) + 1
             do_check = ((t1 % check_every) == 0) & (t1 >= min_blocks)
             done = jax.lax.cond(
                 do_check, lambda: converged(t1, Hc),
                 lambda: jnp.asarray(False))
-            return t1, done, V, BV, Hraw, Hc, V32, BV32
+            return t1, done, V, BV, Hraw, Graw, Hc, V32, BV32
 
-        carry = (jnp.asarray(0), jnp.asarray(False), V, BV, Hraw, Hc,
-                 V32, BV32)
-        t_end, _, V, BV, Hraw, Hc, V32, BV32 = jax.lax.while_loop(
+        carry = (jnp.asarray(0), jnp.asarray(False), V, BV, Hraw, Graw,
+                 Hc, V32, BV32)
+        t_end, _, V, BV, Hraw, Graw, Hc, V32, BV32 = jax.lax.while_loop(
             cond, body, carry)
         niter = t_end * p
         # No row masking needed: Hraw rows/cols past niter are structurally
@@ -668,11 +685,11 @@ def block_lanczos_solve(A, B, factor, sigma, N, m, p, mode="normal",
         # is RANK-REVEALING: eigen-decompose G and truncate directions with
         # Gram eigenvalue below 1e-6 of the largest — redundant copies carry
         # no new information and are dropped instead of amplified.
-        # NT gemm over the DOF dim in native (rows, n) layout (no V.T copy)
-        G = psum(jax.lax.dot_general(
-            BV[:mtot], V[:mtot], (((1,), (1,)), ((), ())),
-            preferred_element_type=dtype), axis)
-        G = 0.5 * (G + G.T)
+        # Symmetric completion of the incrementally measured Gram (same
+        # filled/mirror pattern as H; every entry a direct f64 measurement)
+        Gr = Graw[:mtot]
+        Gm = jnp.where(filled, Gr, Gr.T)
+        G = 0.5 * (Gm + Gm.T)
         dg = jnp.diagonal(G)
         G = G + jnp.diag(jnp.where(dg == 0.0, 1.0, 0.0))  # inactive rows
         sG, UG = jnp.linalg.eigh(G)

@@ -127,19 +127,21 @@ def galerkin_coarse_stencil(Wf, nxf, nyf, ndof):
                                 nxf, nyf, ndof), nxc, nyc, ndof)
     U = u.reshape(nxc + 1, nyc + 1, ndof, 4, 4, ndof)  # [I, J, a, p, q, b]
 
-    iI = jnp.asarray(Ic)[:, None]
-    iJ = jnp.asarray(Jc)[None, :]
+    # Extraction as masked phase sums (einsum over one-hot phase masks):
+    # a general gather here is pathologically slow on TPU, and these arrays
+    # are tiny (the einsum does 16x the minimal work on O(n_coarse) data).
     Wc = jnp.zeros((nxc + 1, nyc + 1, 3, 3, ndof, ndof), dtype=dtype)
     for di in (-1, 0, 1):
         for dj in (-1, 0, 1):
-            ip = (iI + di) % 4
-            jq = (iJ + dj) % 4
-            blk = U[iI, iJ, :, ip, jq, :]  # (nxc+1, nyc+1, ndof_a, ndof_b)
-            # out-of-range neighbours contribute exact zeros already (the
-            # comb has no node there), but mask for clarity at the borders
-            valid = ((iI + di >= 0) & (iI + di <= nxc)
-                     & (iJ + dj >= 0) & (iJ + dj <= nyc))
-            blk = jnp.where(valid[:, :, None, None], blk, 0.0)
+            MI = jnp.asarray((np.arange(4)[:, None] == (Ic + di) % 4)
+                             & (Ic + di >= 0)[None, :]
+                             & (Ic + di <= nxc)[None, :], dtype=dtype)
+            MJ = jnp.asarray((np.arange(4)[:, None] == (Jc + dj) % 4),
+                             dtype=dtype)
+            blk = jnp.einsum("IJapqb,pI,qJ->IJab", U, MI, MJ)
+            valid_j = jnp.asarray(((Jc + dj >= 0) & (Jc + dj <= nyc)),
+                                  dtype=dtype)
+            blk = blk * valid_j[None, :, None, None]
             Wc = Wc.at[:, :, 1 + di, 1 + dj].set(blk)
     return Wc
 
@@ -247,7 +249,7 @@ class GridMGFactor:
 
     @classmethod
     def build(cls, W, grid_shape, ndof, min_coarse=2048, degree=3,
-              rtol=1e-13, maxiter=60):
+              rtol=1e-13, maxiter=60, approx_rtol=1e-5, approx_maxiter=18):
         """W: fine-level stencil (f64 or f32) of the SPD shifted operator."""
         W64 = W if W.dtype == jnp.float64 else None
         Wl = W.astype(jnp.float32)
@@ -276,7 +278,8 @@ class GridMGFactor:
         Linv = solve_triangular(L, eye, lower=True)
         coarse_inv = Linv.T @ Linv
         return cls(Ws, dinvs, lmaxs, coarse_inv, W64, shapes, ndof,
-                   degree=degree, rtol=rtol, maxiter=maxiter)
+                   degree=degree, rtol=rtol, maxiter=maxiter,
+                   approx_rtol=approx_rtol, approx_maxiter=approx_maxiter)
 
     # -- V-cycle -------------------------------------------------------------
 
