@@ -292,7 +292,11 @@ def laa(Phib, B, factor, res: LanczosResult, D0=None, b_ortho=False,
         raise ValueError(f"Unknown mode {mode!r}")
 
     t = Ys @ (D * scale[None, :])  # (m, N)
-    psi = -factor.mv(B.mv(V.T @ t))
+    # contract V's row dim directly: a user-level V.T forces XLA:TPU to
+    # materialize an (n, m) f64 copy (and its f32 split pair) at large n
+    Vt = jax.lax.dot_general(V, t, (((0,), (0,)), ((), ())),
+                             preferred_element_type=V.dtype)
+    psi = -factor.mv(B.mv(Vt))
     return psi
 
 
@@ -465,10 +469,17 @@ def sibk(Phib, A, B, lam, Phi, mode="normal", psi=None, sigma=None,
             else:
                 w = proj_l(lcast(A.mv(Zblk)))
             mask = (col < lo + N).astype(ldt)
+
+            def ladder_T_dot(rows, h):
+                # contract the ladder's row dim without an (n, K+N) copy
+                return jax.lax.dot_general(
+                    rows, h, (((0,), (0,)), ((), ())),
+                    preferred_element_type=rows.dtype)
+
             h1 = pdot(W, w, axis) * mask[:, None]
-            w = w - W.T @ h1
+            w = w - ladder_T_dot(W, h1)
             h2 = pdot(W, w, axis) * mask[:, None]
-            w = w - W.T @ h2
+            w = w - ladder_T_dot(W, h2)
             w = proj_l(w)
             h = h1 + h2  # ((K+N), N)
             Qb, Rb = qr_tall(w, axis)
@@ -504,7 +515,9 @@ def sibk(Phib, A, B, lam, Phi, mode="normal", psi=None, sigma=None,
         t_end, _, W, Z, H = jax.lax.while_loop(cond, body, carry)
 
         Ymat, resids = solve_all(H, r0)
-        psi_ = psi_ + (Z.T @ lcast(Ymat)).astype(dtype)
+        psi_ = psi_ + jax.lax.dot_general(
+            Z, lcast(Ymat), (((0,), (0,)), ((), ())),
+            preferred_element_type=ldt).astype(dtype)
         return psi_, resids, t_end * N
 
     hist = jnp.full((max(1, nrestart), N), jnp.nan, dtype=dtype)

@@ -206,7 +206,14 @@ def _forward_ops(theta, problem, A, B, cfg):
 def _eigh_gen_fwd(theta, problem, cfg):
     A, B = problem.assemble(theta)
     lam, Phi, (res, factor) = _forward_ops(theta, problem, A, B, cfg)
-    return (lam, Phi), (theta, A, B, res, factor)
+    # Slim the saved state: the reverse pass (laa guess + Krylov adjoint +
+    # correction) reads res.V / Ys / theta / lam / Phi but never res.BV —
+    # dropping it saves an (m, n) f64 buffer (1.5 GB at 1M DOF) across the
+    # whole forward-to-backward live range.
+    import dataclasses as _dc
+
+    res_slim = _dc.replace(res, BV=jnp.zeros((0, 0), dtype=res.BV.dtype))
+    return (lam, Phi), (theta, A, B, res_slim, factor)
 
 
 def _eigh_gen_bwd(problem, cfg, saved, cotangents):
