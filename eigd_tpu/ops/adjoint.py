@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
-from .collective import pdot, psum, qr_tall
+from .collective import dd_dot, dd_dot_rowsT, pdot, psum, qr_tall
 from .operators import as_operator
 from .lanczos import LanczosResult, _tridiagonal
 
@@ -268,7 +268,7 @@ def laa(Phib, B, factor, res: LanczosResult, D0=None, b_ortho=False,
     lam = res.lam[:N]
     sigma = res.sigma
 
-    Yb = pdot(V, Phib, axis)  # (m, N)
+    Yb = dd_dot(V, Phib, axis)  # (m, N)
     C = Ys.T @ Yb  # (m, N); C[i, j] = Ys[:, i] . Yb[:, j]
 
     if D0 is not None:
@@ -292,11 +292,10 @@ def laa(Phib, B, factor, res: LanczosResult, D0=None, b_ortho=False,
         raise ValueError(f"Unknown mode {mode!r}")
 
     t = Ys @ (D * scale[None, :])  # (m, N)
-    # contract V's row dim directly: a user-level V.T forces XLA:TPU to
-    # materialize an (n, m) f64 copy (and its f32 split pair) at large n
-    Vt = jax.lax.dot_general(V, t, (((0,), (0,)), ((), ())),
-                             preferred_element_type=V.dtype)
-    psi = -factor.mv(B.mv(Vt))
+    # contract V's row dim directly at dd precision: a user-level V.T
+    # forces an (n, m) f64 copy, and XLA's emulated f64 gemm is ~50x
+    # slower than the split-pair form at large n
+    psi = -factor.mv(B.mv(dd_dot_rowsT(V, t)))
     return psi
 
 
@@ -388,7 +387,7 @@ def sibk(Phib, A, B, lam, Phi, mode="normal", psi=None, sigma=None,
         raise ValueError(f"Unknown mode {mode!r}")
 
     def proj(X):
-        return X - BPhi @ pdot(Phi.T, X, axis)
+        return X - BPhi @ dd_dot(Phi.T, X, axis)
 
     def op_residual(psi_):
         if mode == "normal":

@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .collective import pdot, psum
+from .collective import dd_dot, dd_dot_rowsT, pdot, psum
 from .operators import as_operator
 
 
@@ -430,7 +430,7 @@ def b_qr_tall(X, B_mv, axis=None):
     Returns (Q, BQ, R) with Q^T B Q = I and X = Q R.
     """
     def one_pass(X, BX):
-        G = psum(X.T @ BX, axis)
+        G = dd_dot(X.T, BX, axis)
         G = 0.5 * (G + G.T)
         cn = jnp.sqrt(jnp.maximum(jnp.diagonal(G), 1e-300))
         Gs = G / (cn[:, None] * cn[None, :])
@@ -505,7 +505,7 @@ def block_lanczos_solve(A, B, factor, sigma, N, m, p, mode="normal",
         U, BU = deflate
 
         def defl(Wb):
-            return Wb - U.T @ pdot(BU, Wb, axis)
+            return Wb - dd_dot_rowsT(U, dd_dot(BU, Wb, axis))
     else:
         def defl(Wb):
             return Wb
@@ -531,11 +531,12 @@ def block_lanczos_solve(A, B, factor, sigma, N, m, p, mode="normal",
         # Measured Gram matrix, accumulated incrementally like Hraw: the
         # one-shot G = BV @ V^T NT gemm after the loop made XLA:TPU's f64
         # emulation materialize split f32 copies of both (mtot, n) operands
-        # (~11 GB live at 1M DOF). Column block tb is BV . v-block_tb,
-        # computed the moment the block is written; mirror by symmetry.
+        # (~11 GB live at 1M DOF). Column block t is BV . v-block_t,
+        # measured at the START of step t together with the Rayleigh-Ritz
+        # column (one merged f64 GEMM per step — each (rows, n) f64 GEMM
+        # instance costs a split-operand copy pair under TPU f64 emulation,
+        # so instances are the currency); mirror by symmetry.
         Graw = jnp.zeros(((q + 1) * p, mtot), dtype=dtype)
-        Graw = jax.lax.dynamic_update_slice(
-            Graw, pdot(BV, Q0, axis), (0, 0))
     else:
         V32 = BV32 = Graw = None
 
@@ -543,8 +544,17 @@ def block_lanczos_solve(A, B, factor, sigma, N, m, p, mode="normal",
         lo = t * p
         BVblk = jax.lax.dynamic_slice_in_dim(BV, lo, p, axis=0)
         w = factor.mv(BVblk.T)  # (n, p) blocked apply
-        hraw = pdot(BV, w, axis)  # ((q+1)p, p); zero above row lo+p
-        Hraw = jax.lax.dynamic_update_slice(Hraw, hraw, (0, lo))
+        if local:
+            # merged measurement: [RR column | Gram column] of block t
+            # (dd_dot: f64-quality at f32 MXU rate; XLA's emulated f64
+            # GEMM runs at ~42 GFLOP/s and this is the per-step hot GEMM)
+            Vblk = jax.lax.dynamic_slice_in_dim(V, lo, p, axis=0)
+            hg = dd_dot(BV, jnp.concatenate([w, Vblk.T], axis=1), axis)
+            Hraw = jax.lax.dynamic_update_slice(Hraw, hg[:, :p], (0, lo))
+            Graw = jax.lax.dynamic_update_slice(Graw, hg[:, p:], (0, lo))
+        else:
+            hraw = dd_dot(BV, w, axis)  # ((q+1)p, p); zero above row lo+p
+            Hraw = jax.lax.dynamic_update_slice(Hraw, hraw, (0, lo))
         w = defl(w)
         # All basis contractions below use dot_general over the stored
         # (rows, n) layout directly — user-level ``V.T @ h`` transposes were
@@ -557,15 +567,16 @@ def block_lanczos_solve(A, B, factor, sigma, N, m, p, mode="normal",
                 preferred_element_type=Vrows.dtype)
 
         if local:
-            # Three-term recurrence in f64 (the O(1) coefficients exactly)
-            # against the previous two blocks ...
+            # Three-term recurrence against the previous two blocks
+            # (dd-precision coefficients; CGS2's second pass and the
+            # measured-H/G Rayleigh-Ritz absorb the ~1e-7 floor) ...
             lo2 = jnp.maximum(lo - p, 0)
             Vp = jax.lax.dynamic_slice_in_dim(V, lo2, 2 * p, axis=0)
             BVp = jax.lax.dynamic_slice_in_dim(BV, lo2, 2 * p, axis=0)
-            h1l = pdot(BVp, w, axis)
-            w = w - rows_T_dot(Vp, h1l)
-            h2l = pdot(BVp, w, axis)
-            w = w - rows_T_dot(Vp, h2l)
+            h1l = dd_dot(BVp, w, axis)
+            w = w - dd_dot_rowsT(Vp, h1l)
+            h2l = dd_dot(BVp, w, axis)
+            w = w - dd_dot_rowsT(Vp, h2l)
             hl = h1l + h2l  # (2p, p)
             h = jnp.zeros(((q + 1) * p, p), dtype=dtype)
             h = jax.lax.dynamic_update_slice(h, hl, (lo2, 0))
@@ -585,10 +596,10 @@ def block_lanczos_solve(A, B, factor, sigma, N, m, p, mode="normal",
             w = w - rows_T_dot(V32, hfar2.astype(jnp.float32)).astype(dtype)
         else:
             mask = (col < lo + p).astype(dtype)
-            h1 = pdot(BV, w, axis) * mask[:, None]
-            w = w - rows_T_dot(V, h1)
-            h2 = pdot(BV, w, axis) * mask[:, None]
-            w = w - rows_T_dot(V, h2)
+            h1 = dd_dot(BV, w, axis) * mask[:, None]
+            w = w - dd_dot_rowsT(V, h1)
+            h2 = dd_dot(BV, w, axis) * mask[:, None]
+            w = w - dd_dot_rowsT(V, h2)
             h = h1 + h2
         w = defl(w)
         Qb, BQb, Rb = b_qr_tall(w, B.mv, axis=axis)
@@ -599,15 +610,6 @@ def block_lanczos_solve(A, B, factor, sigma, N, m, p, mode="normal",
                 V32, Qb.T.astype(jnp.float32), lo + p, axis=0)
             BV32 = jax.lax.dynamic_update_slice_in_dim(
                 BV32, BQb.T.astype(jnp.float32), lo + p, axis=0)
-            # Gram column block of the freshly written basis block; only
-            # the first mtot columns are consumed (the final q-th block's
-            # columns fall outside G[:mtot, :mtot]).
-            gcol = pdot(BV, Qb, axis)
-            safe_lo = jnp.minimum(lo + p, mtot - p)
-            gcol = jnp.where(lo + p < mtot, gcol,
-                             jax.lax.dynamic_slice(
-                                 Graw, (0, safe_lo), gcol.shape))
-            Graw = jax.lax.dynamic_update_slice(Graw, gcol, (0, safe_lo))
         rowmask = ((col >= lo + p) & (col < lo + 2 * p)).astype(dtype)
         Rpad = jnp.zeros(((q + 1) * p, p), dtype=dtype)
         Rpad = jax.lax.dynamic_update_slice(Rpad, Rb, (lo + p, 0))
@@ -725,9 +727,9 @@ def block_lanczos_solve(A, B, factor, sigma, N, m, p, mode="normal",
     sel = order[:N]
     lam = lam_all[sel]
     Y0 = Y[:, sel]
-    # TN gemm: contract the row dim of V directly (no (n, mtot) V.T copy)
-    Phi = jax.lax.dot_general(V[:mtot], Y0, (((0,), (0,)), ((), ())),
-                              preferred_element_type=dtype)
+    # contract the row dim of V directly (no (n, mtot) V.T copy), at
+    # dd precision (XLA's true-f64 TN gemm costs ~160 ms at 1M DOF)
+    Phi = dd_dot_rowsT(V[:mtot], Y0)
     # Residual per selected mode in theta space via the last active block's
     # coupling (the classical block-Lanczos bound ||R_end Y_last||; the
     # basis is B-orthonormal to within the local-ortho drift): exactly the
