@@ -89,7 +89,7 @@ def _chunked_f32_dot(A, Bm, chunk):
     return out
 
 
-def dd_dot(X, w, axis=None, chunk=512):
+def dd_dot(X, w, axis=None, chunk=2048):
     """f64-quality (m, n) @ (n, k) contraction at f32 MXU rate.
 
     XLA:TPU's emulated f64 matmul runs at ~42 GFLOP/s (measured: 147 ms for
