@@ -130,7 +130,7 @@ def galerkin_coarse_stencil(Wf, nxf, nyf, ndof):
     # Extraction as masked phase sums (einsum over one-hot phase masks):
     # a general gather here is pathologically slow on TPU, and these arrays
     # are tiny (the einsum does 16x the minimal work on O(n_coarse) data).
-    Wc = jnp.zeros((3, 3, ndof, ndof, nxc + 1, nyc + 1), dtype=dtype)
+    Wc = jnp.zeros((nxc + 1, nyc + 1, 3, 3, ndof, ndof), dtype=dtype)
     for di in (-1, 0, 1):
         for dj in (-1, 0, 1):
             MI = jnp.asarray((np.arange(4)[:, None] == (Ic + di) % 4)
@@ -138,11 +138,11 @@ def galerkin_coarse_stencil(Wf, nxf, nyf, ndof):
                              & (Ic + di <= nxc)[None, :], dtype=dtype)
             MJ = jnp.asarray((np.arange(4)[:, None] == (Jc + dj) % 4),
                              dtype=dtype)
-            blk = jnp.einsum("IJapqb,pI,qJ->abIJ", U, MI, MJ)
+            blk = jnp.einsum("IJapqb,pI,qJ->IJab", U, MI, MJ)
             valid_j = jnp.asarray(((Jc + dj >= 0) & (Jc + dj <= nyc)),
                                   dtype=dtype)
-            blk = blk * valid_j[None, None, None, :]
-            Wc = Wc.at[1 + di, 1 + dj].set(blk)
+            blk = blk * valid_j[None, :, None, None]
+            Wc = Wc.at[:, :, 1 + di, 1 + dj].set(blk)
     return Wc
 
 
@@ -158,8 +158,7 @@ def stencil_to_dense(W, nx, ny, ndof):
             j0, j1 = max(0, -dj), min(ny + 1, ny + 1 - dj)
             rows = node[i0:i1, j0:j1]
             colsn = node[i0 + di:i1 + di, j0 + dj:j1 + dj]
-            blk = jnp.transpose(W[1 + di, 1 + dj, :, :, i0:i1, j0:j1],
-                                (2, 3, 0, 1))  # (., ., ndof, ndof)
+            blk = W[i0:i1, j0:j1, 1 + di, 1 + dj]  # (., ., ndof, ndof)
             r = (ndof * rows[:, :, None, None]
                  + np.arange(ndof)[None, None, :, None])
             c = (ndof * colsn[:, :, None, None]
@@ -259,9 +258,9 @@ class GridMGFactor:
         while True:
             shapes.append((nx, ny))
             Ws.append(Wl)
-            from .stencil import stencil_diag
-
-            dinv = 1.0 / stencil_diag(Wl, ndof)
+            dg = jnp.stack([Wl[:, :, 1, 1, d, d] for d in range(ndof)],
+                           axis=2).reshape(-1)
+            dinv = 1.0 / dg
             dinvs.append(dinv)
             lmaxs.append(estimate_lmax(Wl, dinv, nx, ny, ndof))
             n_next = (nx // 2 + 1) * (ny // 2 + 1) * ndof

@@ -5,19 +5,14 @@ segment_sum) is dominated by the gather/scatter lowering (measured ~100 ms
 per f64 matvec at a 512x256 grid vs ~3 ms of useful data movement). On the
 regular grids of every example problem, the assembled operator is a 9-point
 nodal stencil with (ndof, ndof) coupling blocks, so the matvec can be nine
-shifted elementwise block-products — pure VPU work at memory bandwidth, no
-gather anywhere. This is the TPU-native answer to the reference's CSR matvec
-(natural_frequency.py:157-158).
+shifted elementwise block-products on an (nx+1, ny+1, ndof) grid layout —
+pure VPU work at memory bandwidth, no gather anywhere. This is the
+TPU-native answer to the reference's CSR matvec (natural_frequency.py:
+157-158), following the structured-stencil guidance of the TPU programming
+guide.
 
-Layout matters as much as the algorithm: the stencil planes are stored
-(3, 3, ndof, ndof, nx+1, ny+1) and the matvec runs on (ndof, k, nx+1, ny+1)
-grids, so every elementwise op has the LARGE grid dims minormost — full
-(8, 128) VPU tiles. The earlier (nx+1, ny+1, ndof, k) form put k = 8 in the
-lane dimension and ran ~30x below bandwidth (measured 76 ms vs ~3 ms of
-traffic for one f32 k=8 matvec at 1M DOF).
-
-The stencil is assembled from the element matrices with 16 static
-slice-adds (one per corner pair), so the whole build is differentiable and
+The stencil is *assembled from the element matrices with 16 static
+slice-adds* (one per corner pair), so the whole build is differentiable and
 XLA-fusable; the element matrices are kept alongside for the factorization
 path (grid_block_tridiag) and ``to_dense``.
 
@@ -35,61 +30,55 @@ _CORNERS = ((0, 0), (1, 0), (1, 1), (0, 1))
 
 
 def stencil_from_elements(emats, nx, ny, ndof):
-    """Element matrices -> nodal stencil W (3, 3, ndof, ndof, nx+1, ny+1).
+    """Element matrices -> nodal stencil W (nx+1, ny+1, 3, 3, ndof, ndof).
 
-    W[1+di, 1+dj, :, :, i, j] is the coupling block from node (i+di, j+dj)
-    onto node (i, j). emats is (nx*ny, 4*ndof, 4*ndof) in e = i + nx*j
-    order.
+    W[i, j, 1+di, 1+dj] is the coupling block from node (i+di, j+dj) onto
+    node (i, j). emats is (nx*ny, 4*ndof, 4*ndof) in e = i + nx*j order.
     """
     d4 = 4 * ndof
-    # (nx, ny, d4, d4) with the element grid dims LEADING (they become the
-    # minor dims of the stencil planes below)
-    Ke = emats.reshape(ny, nx, d4, d4).transpose(1, 0, 2, 3)
-    W = jnp.zeros((3, 3, ndof, ndof, nx + 1, ny + 1), dtype=emats.dtype)
+    Ke = emats.reshape(ny, nx, d4, d4).transpose(1, 0, 2, 3)  # (nx, ny, ., .)
+    W = jnp.zeros((nx + 1, ny + 1, 3, 3, ndof, ndof), dtype=emats.dtype)
     for a, (ai, aj) in enumerate(_CORNERS):
         for b, (bi, bj) in enumerate(_CORNERS):
             blk = Ke[:, :, ndof * a: ndof * (a + 1),
-                     ndof * b: ndof * (b + 1)]  # (nx, ny, ndof, ndof)
-            W = W.at[1 + bi - ai, 1 + bj - aj, :, :,
-                     ai: ai + nx, aj: aj + ny].add(
-                blk.transpose(2, 3, 0, 1))
+                     ndof * b: ndof * (b + 1)]
+            W = W.at[ai: ai + nx, aj: aj + ny,
+                     1 + bi - ai, 1 + bj - aj].add(blk)
     return W
 
 
 def stencil_matvec(W, x, nx, ny, ndof):
     """y = A x with the 9-point block stencil; x is (n,) or (n, k).
 
-    Internally computed on (ndof, k, nx+1, ny+1) grids (grid dims
-    minormost, full VPU tiles); the (ndof, ndof) block products are
-    unrolled into broadcasted multiply-adds over the stencil planes.
+    The (ndof, ndof) block products are unrolled into explicit broadcasted
+    multiply-adds: XLA's f64-emulation of small batched einsums is
+    pathologically slow on TPU (measured ~20x), while plain elementwise
+    f64 ops lower well.
     """
     squeeze = x.ndim == 1
     if squeeze:
         x = x[:, None]
     k = x.shape[1]
-    # (n, k) -> (ndof, k, X, Y)
-    xq = x.reshape(nx + 1, ny + 1, ndof, k).transpose(2, 3, 0, 1)
-    xp = jnp.pad(xq, ((0, 0), (0, 0), (1, 1), (1, 1)))
-    acc = [None] * ndof
+    xg = x.reshape(nx + 1, ny + 1, ndof, k)
+    xp = jnp.pad(xg, ((1, 1), (1, 1), (0, 0), (0, 0)))
+    shifts = []
     for di in (-1, 0, 1):
         for dj in (-1, 0, 1):
-            xs = xp[:, :, 1 + di: 2 + di + nx, 1 + dj: 2 + dj + ny]
-            Wb = W[1 + di, 1 + dj]  # (ndof, ndof, X, Y)
-            for a in range(ndof):
-                for b in range(ndof):
-                    t = Wb[a, b][None] * xs[b]
-                    acc[a] = t if acc[a] is None else acc[a] + t
-    y = jnp.stack(acc)  # (ndof, k, X, Y)
-    out = y.transpose(2, 3, 0, 1).reshape((nx + 1) * (ny + 1) * ndof, k)
+            shifts.append((W[:, :, 1 + di, 1 + dj],
+                           xp[1 + di: 2 + di + nx, 1 + dj: 2 + dj + ny]))
+    rows = []
+    for a in range(ndof):
+        acc = None
+        for Ws, xs in shifts:
+            for bdof in range(ndof):
+                t = Ws[:, :, a, bdof, None] * xs[:, :, bdof, :]
+                acc = t if acc is None else acc + t
+        rows.append(acc)
+    y = jnp.stack(rows, axis=2)
+    out = y.reshape((nx + 1) * (ny + 1) * ndof, k)
     if squeeze:
         out = out[:, 0]
     return out
-
-
-def stencil_diag(W, ndof):
-    """Pointwise diagonal of the stencil operator, as a flat (n,) vector."""
-    dg = jnp.stack([W[1, 1, d, d] for d in range(ndof)], axis=2)
-    return dg.reshape(-1, ndof).reshape(-1)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -105,7 +94,7 @@ class GridStencilOperator:
         self.mats = mats  # (nelems, d, d) element matrices
         self.dofs = dofs  # (nelems, d) global DOF map
         self.n = n
-        self.W = W  # (3, 3, ndof, ndof, nx+1, ny+1), extra_diag folded in
+        self.W = W  # (nx+1, ny+1, 3, 3, ndof, ndof), extra_diag folded in
         self.grid_shape = tuple(grid_shape)
         self.ndof = ndof
         # kept separately so factor builders working from the element
@@ -119,7 +108,7 @@ class GridStencilOperator:
         if extra_diag is not None:
             dg = extra_diag.reshape(nx + 1, ny + 1, ndof)
             for d in range(ndof):
-                W = W.at[1, 1, d, d].add(dg[:, :, d])
+                W = W.at[:, :, 1, 1, d, d].add(dg[:, :, d])
         return cls(op.mats, op.dofs, op.n, W, grid_shape, ndof,
                    extra_diag=extra_diag)
 
