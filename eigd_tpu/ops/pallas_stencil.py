@@ -1,0 +1,128 @@
+"""Pallas TPU kernel for the 9-point block-stencil matvec.
+
+The stencil matvec is the innermost op of the multigrid factor (smoother,
+residuals, coarse transfers all reduce to it): a V-cycle runs ~10 of them
+and a full factor apply ~20 V-cycles, so its speed bounds the whole
+shift-invert pipeline. The XLA lowering of the shifted-multiply form runs
+at ~43 ms per f32 k=8 matvec at 1M DOF — an order of magnitude above the
+~2 ms of memory traffic — because the (ndof, k) minor dims waste VPU lanes
+and the +-1 grid shifts defeat fusion.
+
+This kernel controls both. Data layout:
+  x  : (C, X, Y) f32 channel planes, C = ndof*k — the large grid dims own
+       the (sublane, lane) tiles, so every vector op runs on full tiles
+  W  : (9, ndof, ndof, X, Y) f32 stencil planes, t = 3*(di+1) + (dj+1)
+Grid over row tiles of TX rows. Row (di) halos are handled by passing
+three row-shifted views of the (row-padded) input — each view's blocks are
+aligned and non-overlapping, so plain BlockSpecs express them. Column (dj)
+shifts are lane rolls with an edge mask — single vector ops instead of
+XLA's relayout copies.
+
+Used for f32 (the V-cycle/smoother dtype). The f64 residual matvec stays
+on the XLA path (measured 16 ms at 1M DOF — not the bottleneck).
+
+STATUS: correct under the Pallas interpreter (tests/test_pallas_stencil.py)
+but NOT yet enabled on the solve path: this environment's remote "chipless"
+AOT TPU compiler rejects every non-trivial pallas_call (any grid +
+BlockSpec, and the gridless manual-DMA pattern, both fail inside Mosaic
+with "failed to legalize operation 'func.return'"; a single full-array
+VMEM kernel compiles fine). The kernel is kept, tested, and ready to wire
+into GridMGFactor's level matvecs when a toolchain with working Mosaic
+pipelining is available.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def stencil_planes(W, ndof):
+    """Old-layout stencil (X, Y, 3, 3, ndof, ndof) -> (9*ndof*ndof, X, Y)
+    planes for the kernel, plane index t = (3*(di+1) + (dj+1))*ndof^2 +
+    a*ndof + b (build-time, one transpose)."""
+    Wp = jnp.transpose(W, (2, 3, 4, 5, 0, 1))
+    s = Wp.shape
+    return Wp.reshape(9 * ndof * ndof, s[4], s[5]).astype(jnp.float32)
+
+
+def _kernel(xm_ref, x0_ref, xp_ref, w_ref, o_ref, *, ndof, k, Y):
+    """One row tile. xm/x0/xp: (C, TX, Y+2) row-shifted input slabs with a
+    zero column halo (di = -1 / 0 / +1); w: (9*ndof*ndof, TX, Y);
+    o: (C, TX, Y)."""
+    refs = {-1: xm_ref, 0: x0_ref, 1: xp_ref}
+    acc = [None] * ndof
+    for di in (-1, 0, 1):
+        xr = refs[di]
+        for b in range(ndof):
+            xb0 = xr[pl.ds(b * k, k), :, :]  # (k, TX, Y+2)
+            for dj in (-1, 0, 1):
+                # static lane-offset slice selects columns j+dj of the
+                # zero-padded slab
+                xb = xb0[:, :, 1 + dj: 1 + dj + Y]
+                for a in range(ndof):
+                    t = (3 * (di + 1) + (dj + 1)) * ndof * ndof + a * ndof + b
+                    term = w_ref[t, :, :][None, :, :] * xb
+                    if acc[a] is None:
+                        acc[a] = term
+                    else:
+                        acc[a] = acc[a] + term
+    for a in range(ndof):
+        o_ref[pl.ds(a * k, k), :, :] = acc[a]
+
+
+def pallas_stencil_matvec(Wp, x, nx, ny, ndof, TX=64, interpret=False):
+    """y = A x using the Pallas kernel; x is (n,) or (n, k) f32.
+
+    Wp are the (9, ndof, ndof, X, Y) planes from ``stencil_planes``.
+    """
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[:, None]
+    k = x.shape[1]
+    X, Y = nx + 1, ny + 1
+    XR = -(-X // TX) * TX  # rows padded up to the tile
+    C = ndof * k
+
+    # (n, k) -> (ndof, k, X, Y) -> (C, X, Y), padded with one halo row AND
+    # one halo column on each side plus row-tile alignment; three
+    # row-shifted views then give each program its di = -1/0/+1 slabs with
+    # aligned blocks, and the column halo turns the dj shifts into static
+    # in-VMEM slices.
+    xq = x.reshape(X, Y, ndof, k).transpose(2, 3, 0, 1).reshape(C, X, Y)
+    xpad = jnp.pad(xq, ((0, 0), (1, 1 + XR - X), (1, 1)))
+    x_m1 = xpad[:, 0:XR, :]
+    x_0 = xpad[:, 1:1 + XR, :]
+    x_p1 = xpad[:, 2:2 + XR, :]
+    Wpp = jnp.pad(Wp, ((0, 0), (0, XR - X), (0, 0)))
+
+    ntiles = XR // TX
+    kern = functools.partial(_kernel, ndof=ndof, k=k, Y=Y)
+    y = pl.pallas_call(
+        kern,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((C, TX, Y + 2), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, TX, Y + 2), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, TX, Y + 2), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * ndof * ndof, TX, Y), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((C, TX, Y), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, XR, Y), jnp.float32),
+        interpret=interpret,
+    )(x_m1, x_0, x_p1, Wpp)
+
+    out = y[:, :X, :].reshape(ndof, k, X, Y).transpose(2, 3, 0, 1)
+    out = out.reshape(X * Y * ndof, k)
+    if squeeze:
+        out = out[:, 0]
+    return out

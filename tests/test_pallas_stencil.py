@@ -1,0 +1,60 @@
+"""Pallas stencil kernel vs the XLA reference matvec (interpret mode)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from eigd_tpu.fem import assembly as fem
+from eigd_tpu.fem.model import make_grid
+from eigd_tpu.fem.quad import plane_stress_tables, thermal_tables
+from eigd_tpu.ops.pallas_stencil import pallas_stencil_matvec, stencil_planes
+from eigd_tpu.ops.stencil import stencil_from_elements, stencil_matvec
+
+
+def _plane_stress_W(nx, ny, seed=0):
+    mesh = make_grid(nx, ny, 2.0, 1.0)
+    conn = jnp.asarray(mesh.conn)
+    X = jnp.asarray(mesh.X)
+    Be, He, detJ = plane_stress_tables(X, conn)
+    dofs = fem.element_dof_map(conn)
+    C0 = fem.plane_stress_C0()
+    rng = np.random.default_rng(seed)
+    rhoE = jnp.asarray(rng.uniform(0.3, 1.0, mesh.nelems))
+    K = fem.stiffness_matrix(rhoE, Be, detJ, dofs, 2 * mesh.nnodes, C0)
+    return stencil_from_elements(jnp.asarray(K.mats), nx, ny, 2), 2 * mesh.nnodes
+
+
+class TestPallasStencil:
+    @pytest.mark.parametrize("nx,ny,TX", [(16, 8, 4), (33, 17, 8)])
+    @pytest.mark.parametrize("k", [1, 8])
+    def test_matches_reference(self, nx, ny, TX, k):
+        W, n = _plane_stress_W(nx, ny)
+        Wp = stencil_planes(W, 2)
+        rng = np.random.default_rng(3)
+        shape = (n, k) if k > 1 else (n,)
+        x = jnp.asarray(rng.standard_normal(shape), dtype=jnp.float32)
+        ref = np.asarray(stencil_matvec(W.astype(jnp.float32), x, nx, ny, 2))
+        got = np.asarray(pallas_stencil_matvec(Wp, x, nx, ny, 2, TX=TX,
+                                               interpret=True))
+        scale = np.abs(ref).max()
+        assert np.abs(got - ref).max() < 1e-5 * scale
+
+    def test_thermal_ndof1(self):
+        nx, ny = 12, 10
+        mesh = make_grid(nx, ny, 1.0, 1.0)
+        conn = jnp.asarray(mesh.conn)
+        X = jnp.asarray(mesh.X)
+        Bt, Ht, detJ = thermal_tables(X, conn)
+        dofs = jnp.asarray(np.asarray(conn))
+        rng = np.random.default_rng(1)
+        rhoE = jnp.asarray(rng.uniform(0.3, 1.0, mesh.nelems))
+        K = fem.thermal_stiffness_matrix(rhoE, Bt, detJ, dofs, mesh.nnodes)
+        W = stencil_from_elements(jnp.asarray(K.mats), nx, ny, 1)
+        Wp = stencil_planes(W, 1)
+        x = jnp.asarray(rng.standard_normal((mesh.nnodes, 4)),
+                        dtype=jnp.float32)
+        ref = np.asarray(stencil_matvec(W.astype(jnp.float32), x, nx, ny, 1))
+        got = np.asarray(pallas_stencil_matvec(Wp, x, nx, ny, 1, TX=8,
+                                               interpret=True))
+        assert np.abs(got - ref).max() < 1e-5 * np.abs(ref).max()
