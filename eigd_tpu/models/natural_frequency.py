@@ -167,7 +167,7 @@ class TopologyAnalysis:
                 Wst = stencil_from_elements(shifted, gnx, gny, 2)
                 op = GridStencilOperator(shifted, A.dofs, A.n, Wst,
                                          (gnx, gny), 2)
-                return RefinedFactor(inner, op)
+                return RefinedFactor(inner, op, **(factor_options or {}))
 
         self.problem = EigProblem(assemble=self._assemble,
                                   nullspace=self._nullspace,

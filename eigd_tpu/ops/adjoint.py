@@ -249,7 +249,7 @@ def eval_adjoint_residual_norm(A, B, lam, Phi, Phib, psi, mode="normal",
 
 
 def laa(Phib, B, factor, res: LanczosResult, D0=None, b_ortho=False,
-        mode="normal", axis=None):
+        mode="normal", axis=None, approx=False):
     """Galerkin solution of the adjoint equations in the Lanczos subspace.
 
     Rebuild of reference :394-523, with the (m, N) divided-difference matrix D
@@ -295,7 +295,16 @@ def laa(Phib, B, factor, res: LanczosResult, D0=None, b_ortho=False,
     # contract V's row dim directly at dd precision: a user-level V.T
     # forces an (n, m) f64 copy, and XLA's emulated f64 gemm is ~50x
     # slower than the split-pair form at large n
-    psi = -factor.mv(B.mv(dd_dot_rowsT(V, t)))
+    rhs = B.mv(dd_dot_rowsT(V, t))
+    # approx=True: preconditioner-quality factor apply — the LAA result is
+    # only an initial guess for the Krylov adjoint, so when a mixed-
+    # precision ladder follows, a full-accuracy (multi-pass refined) apply
+    # buys nothing
+    mv = getattr(factor, "approx_mv", None) if approx else None
+    if mv is not None:
+        psi = -mv(rhs.astype(jnp.float32)).astype(Phib.dtype)
+    else:
+        psi = -factor.mv(rhs)
     return psi
 
 

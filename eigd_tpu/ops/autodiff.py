@@ -92,7 +92,9 @@ def solve_eig_adjoint(A, B, res, factor, lam_bar, Phi_bar, cfg):
       A_bar =  W_A Phi^T,  B_bar = +W_B Phi^T   (buckling mode)
     """
     psi0 = adj.laa(Phi_bar, B, factor, res, b_ortho=True, mode=cfg.mode,
-                   axis=cfg.axis)
+                   axis=cfg.axis,
+                   approx=(cfg.adjoint_mixed
+                           and cfg.adjoint_method == "sibk"))
     if cfg.adjoint_method == "laa":
         psi, data = adj.generate_adjoint_correction(
             res.lam, res.Phi, psi0, Phib=Phi_bar, eig_atol=cfg.eig_atol,
