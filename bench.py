@@ -55,6 +55,7 @@ def make_topo():
     return make_model(nx=NX, ny=NY, Lx=2.0, Ly=1.0, N=N_MODES, rfact=2.0,
                       m=M_LANCZOS, factor_kind=FACTOR, lanczos_tol=1e-11,
                       lanczos_block=BLOCK, lanczos_ortho="local",
+                      lanczos_check_every=2,
                       factor_options=({"rtol": 1e-11} if FACTOR == "mg"
                                       else {"tol": 1e-11}),
                       adjoint_options={"maxiter": 60, "nrestart": 5,

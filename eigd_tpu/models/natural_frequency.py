@@ -39,7 +39,8 @@ class TopologyAnalysis:
                  eig_atol=1e-5, adjoint_method="sibk", adjoint_options=None,
                  deriv_type="tensor", factor_kind="dense", grid_shape=None,
                  lanczos_tol=None, lanczos_block=1, lanczos_ortho="full",
-                 uniform_grid=False, factor_options=None):
+                 lanczos_check_every=1, uniform_grid=False,
+                 factor_options=None):
         del solver_type, deriv_type  # single TPU-native solver; always batched
         self.fltr = fltr
         self.conn = jnp.asarray(np.asarray(conn))
@@ -107,6 +108,7 @@ class TopologyAnalysis:
                 "nrestart", 2), eig_atol=eig_atol,
             lanczos_tol=lanczos_tol, block=lanczos_block,
             lanczos_ortho=lanczos_ortho,
+            lanczos_check_every=lanczos_check_every,
             adjoint_mixed=adjoint_options.get("mixed", False))
         # Scalable path: never densify — block-tridiagonal Cholesky of the
         # shifted element matrices using the grid line structure, with

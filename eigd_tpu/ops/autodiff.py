@@ -57,6 +57,8 @@ class EighGenConfig:
     block: int = 1  # forward Lanczos block size (p vectors per factor apply)
     adjoint_mixed: bool = False  # f32 SIBK ladder + f64 restarts (GMRES-IR)
     lanczos_ortho: str = "full"  # "local": 3-term recurrence + Gram-RR
+    lanczos_check_every: int = 1  # adaptive-exit check cadence (each check
+    # is an (m, m) reduced eigh — ~50 ms of emulated f64 on TPU at m=176)
 
 
 # ---------------------------------------------------------------------------
@@ -197,11 +199,13 @@ def _forward_ops(theta, problem, A, B, cfg):
                                   cfg.block, mode=cfg.mode, seed=cfg.seed,
                                   deflate=deflate, axis=cfg.axis,
                                   tol=cfg.lanczos_tol, v0=v0,
-                                  ortho=cfg.lanczos_ortho)
+                                  ortho=cfg.lanczos_ortho,
+                                  check_every=cfg.lanczos_check_every)
     else:
         res = lanczos_solve(A, B, factor, cfg.sigma, cfg.N, cfg.m,
                             mode=cfg.mode, seed=cfg.seed, deflate=deflate,
-                            axis=cfg.axis, tol=cfg.lanczos_tol, v0=v0)
+                            axis=cfg.axis, tol=cfg.lanczos_tol, v0=v0,
+                            check_every=max(cfg.lanczos_check_every, 8))
     return res.lam, res.Phi, (res, factor)
 
 

@@ -386,12 +386,12 @@ class GridMGFactor:
     def mv(self, x):
         """Solve A y = x to ~rtol in the operator's working dtype.
 
-        f64 path: iterative refinement — each pass is one f32 MG-PCG solve
-        of the f64 residual (~1e-6 contraction per pass) plus ONE f64
-        stencil matvec. The f64 matvec is the expensive op on TPU (emulated
-        arithmetic), so pushing the Krylov iteration into f32 and paying
-        f64 only for residuals cuts the apply cost ~8x vs running the
-        whole PCG in f64 (~25 f64 matvecs -> ~3).
+        f64 path: flexible PCG in f64 with the f32 V-cycle as the
+        preconditioner. (An iterative-refinement variant — f32 inner PCG
+        solves + f64 residual matvecs — was measured SLOWER at 1M DOF:
+        the V-cycle, not the f64 matvec, is the unit cost [76 ms vs 16 ms
+        in-graph], and refinement runs strictly more V-cycles for the same
+        final accuracy.)
         """
         squeeze = x.ndim == 1
         if squeeze:
@@ -399,39 +399,9 @@ class GridMGFactor:
         if self.W64 is None:
             y = self._pcg(x.astype(jnp.float32), self._matvec32,
                           max(self.rtol, 1e-6), self.maxiter)
-            return y[:, 0] if squeeze else y
-
-        x64 = x.astype(jnp.float64)
-        # ~1e-5 is reliably reachable by the f32 inner solve (tighter
-        # targets sit at the f32 residual-measurement floor and burn the
-        # iteration cap); three refinement passes then reach ~1e-13.
-        inner_rtol = 1e-5
-        inner_iters = min(self.maxiter, 20)
-
-        def inner(r):
-            z = self._pcg(r.astype(jnp.float32), self._matvec32,
-                          inner_rtol, inner_iters)
-            return z.astype(jnp.float64)
-
-        nrm2 = jnp.sum(x64 * x64, axis=0)
-        tol2 = (self.rtol * self.rtol) * jnp.maximum(nrm2, 1e-300)
-        y = inner(x64)
-        big = jnp.full_like(nrm2, jnp.inf)
-
-        def cond(carry):
-            k, y, r2, r2_prev = carry
-            improving = jnp.sum(r2) < 0.25 * jnp.sum(r2_prev)
-            return ((k < 6) & jnp.any(r2 > tol2)
-                    & ((k < 2) | improving))
-
-        def body(carry):
-            k, y, r2, _ = carry
-            r = x64 - self._matvec64(y)
-            y = y + inner(r)
-            return k + 1, y, jnp.sum(r * r, axis=0), r2
-
-        _, y, _, _ = jax.lax.while_loop(
-            cond, body, (jnp.asarray(0), y, big, big * 4))
+        else:
+            y = self._pcg(x.astype(jnp.float64), self._matvec64,
+                          self.rtol, self.maxiter)
         if squeeze:
             y = y[:, 0]
         return y
