@@ -5,7 +5,7 @@ CLI mirror of the reference's examples/natural_frequency.py __main__
 derivative verification, optionally plot.
 
     python examples/natural_frequency.py [sibk|laa|pcpg|pgmres] [nx ny]
-                                        [bcr_f32|blocktridiag|dense]
+                                        [mg|bcr_f32|blocktridiag|dense]
 """
 
 import sys
@@ -28,7 +28,7 @@ def main():
     if len(args) >= 2:
         nx, ny = int(args[0]), int(args[1])
     factor_kind = "dense"
-    for cand in ("bcr_f32", "bcr", "blocktridiag", "blocktridiag_f32"):
+    for cand in ("mg", "bcr_f32", "bcr", "blocktridiag", "blocktridiag_f32"):
         if cand in sys.argv:
             factor_kind = cand
             break

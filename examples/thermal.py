@@ -34,7 +34,11 @@ def run_sweep():
 
 def run_transient():
     np.random.seed(0)
-    factor_kind = "bcr_f32" if "bcr_f32" in sys.argv else "dense"
+    factor_kind = "dense"
+    for cand in ("mg", "bcr_f32"):
+        if cand in sys.argv:
+            factor_kind = cand
+            break
     topo = make_model(nx=16, ny=16, Ly=1.1, N=6, factor_kind=factor_kind)
     heat = {"case": {"center": lambda t: 1.0 + 0.5 * jnp.sin(4.0 * t)}}
     opt = ThermalOpt(topo, heat, nsteps=100, tfinal=2.0)
