@@ -336,7 +336,7 @@ def _solve_shifted_lstsq(alpha, H0, r):
 
 def sibk(Phib, A, B, lam, Phi, mode="normal", psi=None, sigma=None,
          factor=None, rtol=1e-10, atol=1e-30, eig_atol=1e-5, maxiter=50,
-         nrestart=2, check_every=1, bs_target=None, update_guess=None,
+         nrestart=2, check_every=3, bs_target=None, update_guess=None,
          callback=None, axis=None, mixed=False):
     """Shift-invert block Krylov adjoint solver.
 
@@ -430,7 +430,7 @@ def sibk(Phib, A, B, lam, Phi, mode="normal", psi=None, sigma=None,
     def proj_l(X):
         return X - BPhi_l @ pdot(Phi_l.T, X, axis)
 
-    def solve_all(H, r0):
+    def solve_all(H, r0, cheap=False):
         """Batched shifted lstsq over the (possibly truncated) ladder.
 
         Ladder columns that were never built (all-zero H columns after an
@@ -438,6 +438,12 @@ def sibk(Phib, A, B, lam, Phi, mode="normal", psi=None, sigma=None,
         their own row j, which real columns' residual lives on: a unit at
         (j, j) would let the least-squares zero the beta-coupling residual
         rows with spurious components and report false convergence.
+
+        cheap=True solves via regularized normal equations (a (K, K)
+        Cholesky instead of a Householder QR — ~10x cheaper in emulated
+        f64 on TPU). Used ONLY for the in-loop convergence checks, where a
+        slightly perturbed residual estimate just shifts the exit step;
+        the ladder update itself always uses the QR path.
         """
         H = H.astype(dtype)
         cn = jnp.sum(H * H, axis=0)
@@ -446,8 +452,20 @@ def sibk(Phib, A, B, lam, Phi, mode="normal", psi=None, sigma=None,
         rhs = jnp.zeros((K + N, N), dtype=dtype).at[:N].set(
             r0.astype(dtype))
 
-        def solve_one(alpha_i, r_i):
-            return _lstsq_qr(I_mat - alpha_i * H, r_i)
+        if cheap:
+            def solve_one(alpha_i, r_i):
+                Amat = I_mat - alpha_i * H
+                G = Amat.T @ Amat
+                G = G + (1e-14 * jnp.trace(G) / K) * jnp.eye(
+                    K, dtype=dtype)
+                L = jnp.linalg.cholesky(G)
+                z = solve_triangular(L, Amat.T @ r_i, lower=True)
+                y = solve_triangular(L.T, z, lower=False)
+                resid = Amat @ y - r_i
+                return y, jnp.sqrt(jnp.sum(resid * resid))
+        else:
+            def solve_one(alpha_i, r_i):
+                return _lstsq_qr(I_mat - alpha_i * H, r_i)
 
         return jax.vmap(solve_one, in_axes=(0, 1), out_axes=(1, 0))(
             alphas, rhs)
@@ -513,7 +531,7 @@ def sibk(Phib, A, B, lam, Phi, mode="normal", psi=None, sigma=None,
             def check():
                 # Ladder columns >= t1*N are zero, so the masked lstsq solves
                 # the truncated systems exactly (zero extra components).
-                _, res = solve_all(H, r0)
+                _, res = solve_all(H, r0, cheap=True)
                 return jnp.all(res < tol_round)
 
             done = jax.lax.cond(do_check, check, lambda: jnp.asarray(False))
