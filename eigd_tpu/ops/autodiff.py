@@ -93,6 +93,23 @@ def solve_eig_adjoint(A, B, res, factor, lam_bar, Phi_bar, cfg):
       A_bar =  W_A Phi^T,  B_bar = -W_B Phi^T   (normal mode)
       A_bar =  W_A Phi^T,  B_bar = +W_B Phi^T   (buckling mode)
     """
+    if cfg.adjoint_method == "dl":
+        # Exact reverse-mode through the Lanczos recurrence — needs the
+        # single-vector three-term chain (alpha/beta), which the block
+        # solver does not produce.
+        if cfg.block > 1:
+            raise ValueError(
+                "adjoint_method='dl' requires the single-vector Lanczos "
+                "solver (block=1); the block solver has no three-term "
+                "chain (same restriction as the reference's IRAM, "
+                "eigenvector_derivatives.py:2040-2043).")
+        psi, data = adj.dl(Phi_bar, B, factor, res, mode=cfg.mode,
+                           eig_atol=cfg.eig_atol)
+        W_A, W_B = adj.total_derivative_weights(
+            res.lam, res.Phi, lam_bar, Phi_bar, psi, adj_corr_data=data,
+            mode=cfg.mode, axis=cfg.axis)
+        return W_A, W_B, res.Phi
+
     psi0 = adj.laa(Phi_bar, B, factor, res, b_ortho=True, mode=cfg.mode,
                    axis=cfg.axis,
                    approx=(cfg.adjoint_mixed

@@ -70,26 +70,44 @@ def chunked_dot_f32(X, w, axis=None, chunk=8192):
     return psum(out, axis)
 
 
+def _product_dtype():
+    """Accumulation dtype of the split-kernel f32 GEMMs.
+
+    On TPU the MXU computes f32 matmuls from exact bf16-pair products with
+    f32 accumulation, so the Dekker-split terms are exact up to accumulation
+    rounding. CPU f32 GEMMs round every product (no exact-product path), so
+    when the split path is forced on CPU (tests), products accumulate in f64
+    — this models the MXU semantics and makes the split *algebra* testable
+    against the native f64 product to ~1e-12.
+    """
+    return jnp.float64 if jax.default_backend() == "cpu" else jnp.float32
+
+
 def _chunked_f32_dot(A, Bm, chunk):
     """f32 (m, n) @ (n, k) with f64 accumulation across n-chunks."""
     m, n = A.shape
     k = Bm.shape[1]
+    pet = _product_dtype()
     nch = n // chunk
     if nch < 2:
-        return (A @ Bm).astype(jnp.float64)
+        return jax.lax.dot_general(
+            A, Bm, (((1,), (0,)), ((), ())),
+            preferred_element_type=pet).astype(jnp.float64)
     n_main = nch * chunk
     Ar = A[:, :n_main].reshape(m, nch, chunk).transpose(1, 0, 2)
     Br = Bm[:n_main].reshape(nch, chunk, k)
     parts = jax.lax.dot_general(
         Ar, Br, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=pet)
     out = jnp.sum(parts.astype(jnp.float64), axis=0)
     if n_main < n:
-        out = out + (A[:, n_main:] @ Bm[n_main:]).astype(jnp.float64)
+        out = out + jax.lax.dot_general(
+            A[:, n_main:], Bm[n_main:], (((1,), (0,)), ((), ())),
+            preferred_element_type=pet).astype(jnp.float64)
     return out
 
 
-def dd_dot(X, w, axis=None, chunk=2048):
+def dd_dot(X, w, axis=None, chunk=2048, force_split=False):
     """f64-quality (m, n) @ (n, k) contraction at f32 MXU rate.
 
     XLA:TPU's emulated f64 matmul runs at ~42 GFLOP/s (measured: 147 ms for
@@ -101,9 +119,12 @@ def dd_dot(X, w, axis=None, chunk=2048):
     and fine-grained chunking with f64 partial sums bounds the ACCUMULATION
     rounding at ~(chunk/128)*eps32 of a chunk's partial — ~1e-8 relative of
     the total at chunk=512. Falls back to the native f64 matmul on CPU,
-    where that is exact and fast.
+    where that is exact and fast; ``force_split=True`` runs the split
+    kernel regardless of backend (so the TPU numerics are testable on CPU
+    against the native f64 product).
     """
-    if jax.default_backend() == "cpu" or X.dtype != jnp.float64:
+    if (jax.default_backend() == "cpu" and not force_split) \
+            or X.dtype != jnp.float64:
         return psum(X @ w, axis)
     w = w.astype(jnp.float64)
     Xh = X.astype(jnp.float32)
@@ -116,12 +137,13 @@ def dd_dot(X, w, axis=None, chunk=2048):
     return psum(out, axis)
 
 
-def dd_dot_rowsT(rows, h):
+def dd_dot_rowsT(rows, h, force_split=False):
     """f64-quality rows^T @ h for (rows, n) x (rows, k) -> (n, k) at f32
     rate (small contraction dim): split-pair products, f64 sum. The
     contraction is over the small rows dim, so no chunking is needed —
     each f32 product accumulates only ~rows terms."""
-    if jax.default_backend() == "cpu" or rows.dtype != jnp.float64:
+    if (jax.default_backend() == "cpu" and not force_split) \
+            or rows.dtype != jnp.float64:
         return jax.lax.dot_general(rows, h, (((0,), (0,)), ((), ())),
                                    preferred_element_type=rows.dtype)
     h = h.astype(jnp.float64)
@@ -130,9 +152,11 @@ def dd_dot_rowsT(rows, h):
     hh = h.astype(jnp.float32)
     hl = (h - hh.astype(jnp.float64)).astype(jnp.float32)
 
+    pet = _product_dtype()
+
     def td(a, b):
         return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
+                                   preferred_element_type=pet)
 
     return (td(rh, hh).astype(jnp.float64)
             + td(rh, hl).astype(jnp.float64)

@@ -297,7 +297,12 @@ class LanczosResult:
     Y: jax.Array  # (m, m) reduced eigenvectors (eigh order)
     order: jax.Array  # (m,) sort order of mapped eigenvalues
     lam_all: jax.Array  # (m,) all mapped Ritz values (eigh order)
-    eig_res: jax.Array  # (N,) per-mode residual |beta_m Y[m-1, j]|
+    eig_res: jax.Array  # (N,) per-mode residual ESTIMATE. Single-vector
+    # solver: the classical |beta_m Y[m-1, j]| bound. Block solver: the
+    # last-block coupling bound ||R_end Y_last|| — with lanczos_ortho=
+    # 'local' plus Gram truncation this can UNDERSTATE the true residual
+    # ||Op phi - theta phi||_B by the local-ortho drift; treat it as a
+    # convergence indicator, not a measured residual.
     sigma: jax.Array  # scalar shift
     niter: jax.Array  # iterations actually performed (== m when fixed-trip)
 

@@ -263,9 +263,25 @@ class GridMGFactor:
             dinv = 1.0 / dg
             dinvs.append(dinv)
             lmaxs.append(estimate_lmax(Wl, dinv, nx, ny, ndof))
-            n_next = (nx // 2 + 1) * (ny // 2 + 1) * ndof
-            if nx % 2 or ny % 2 or nx < 4 or ny < 4 or n_next <= min_coarse:
+            n_cur = (nx + 1) * (ny + 1) * ndof
+            can_coarsen = not (nx % 2 or ny % 2 or nx < 4 or ny < 4)
+            if not can_coarsen:
+                # Refuse to silently densify a huge grid: an odd / tiny
+                # dimension at large n means the caller's grid cannot build
+                # a hierarchy and the dense coarse inverse would OOM.
+                if n_cur > max(16 * min_coarse, 65536):
+                    raise ValueError(
+                        f"GridMGFactor: grid {nx}x{ny} cannot coarsen "
+                        f"further at n={n_cur} (odd or tiny dimension); "
+                        "use even element counts per level or a larger "
+                        "min_coarse.")
                 break
+            if n_cur <= min_coarse:
+                break
+            # Keep coarsening through min_coarse (the level that first dips
+            # under it becomes the dense-inverted coarsest) rather than
+            # stopping one level early and Cholesky-inverting up to
+            # ~4x min_coarse.
             Wl = galerkin_coarse_stencil(Wl, nx, ny, ndof)
             nx, ny = nx // 2, ny // 2
 
@@ -302,7 +318,14 @@ class GridMGFactor:
         """Flexible PCG; residuals/updates in bb.dtype, preconditioner f32.
 
         bb : (n, k). Per-column coefficients; converged columns freeze
-        (their alpha is zeroed). Stagnation exit when no column improves.
+        (their alpha is zeroed). Stagnation exit only after TWO consecutive
+        iterations without a 10% reduction of the best residual seen so far
+        (a single plateau iteration — pre-superlinear phase or the f32
+        preconditioner noise floor — must not abort the solve).
+
+        Returns (x, info) with info = dict(niter, res2 = per-column final
+        squared residuals, tol2) so callers can detect an unconverged apply
+        (ADVICE r1: no silent truncation).
         """
         dtype = bb.dtype
         nx, ny = self.shapes[0]
@@ -335,13 +358,12 @@ class GridMGFactor:
         p = z
 
         def cond(carry):
-            k, x, r, z, p, rz, r2, r2_prev = carry
+            k, x, r, z, p, rz, r2, best, bad = carry
             active = r2 > tol2
-            improving = jnp.sum(r2) < 0.9 * jnp.sum(r2_prev)
-            return (k < maxiter) & jnp.any(active) & ((k < 3) | improving)
+            return (k < maxiter) & jnp.any(active) & (bad < 2)
 
         def body(carry):
-            k, x, r, z, p, rz, r2, _ = carry
+            k, x, r, z, p, rz, r2, best, bad = carry
             Ap = matvec64(p)
             pAp = jnp.sum(p * Ap, axis=0)
             active = (r2 > tol2).astype(dtype)
@@ -357,13 +379,21 @@ class GridMGFactor:
                                                             1.0), 0.0)
             p = z + p * beta[None, :]
             r2n = jnp.sum(r_new * r_new, axis=0)
-            return k + 1, x, r_new, z, p, rz_new, r2n, r2
+            # stagnation vs the best TOTAL residual so far; two consecutive
+            # plateau iterations required before giving up (a single
+            # plateau — pre-superlinear phase or the f32 preconditioner
+            # noise floor — must not abort the solve)
+            improving = jnp.sum(r2n) < 0.9 * best
+            bad = jnp.where(improving, 0, bad + 1)
+            best = jnp.minimum(best, jnp.sum(r2n))
+            return k + 1, x, r_new, z, p, rz_new, r2n, best, bad
 
         r2_0 = jnp.sum(r * r, axis=0)
-        big = jnp.full_like(r2_0, jnp.inf)
-        carry = (jnp.asarray(0), x, r, z, p, rz, r2_0, big)
-        _, x, _, _, _, _, _, _ = jax.lax.while_loop(cond, body, carry)
-        return x
+        carry = (jnp.asarray(0), x, r, z, p, rz, r2_0, jnp.sum(r2_0),
+                 jnp.asarray(0))
+        k_end, x, _, _, _, _, r2, _, _ = jax.lax.while_loop(
+            cond, body, carry)
+        return x, {"niter": k_end, "res2": r2, "tol2": tol2}
 
     def _matvec64(self, x):
         nx, ny = self.shapes[0]
@@ -393,26 +423,45 @@ class GridMGFactor:
         in-graph], and refinement runs strictly more V-cycles for the same
         final accuracy.)
         """
+        y, _ = self.mv_info(x)
+        return y
+
+    def mv_info(self, x):
+        """Like ``mv`` but also returns the inner-PCG convergence info
+        (niter, per-column final squared residuals, tol2)."""
         squeeze = x.ndim == 1
         if squeeze:
             x = x[:, None]
         if self.W64 is None:
-            y = self._pcg(x.astype(jnp.float32), self._matvec32,
-                          max(self.rtol, 1e-6), self.maxiter)
+            y, info = self._pcg(x.astype(jnp.float32), self._matvec32,
+                                max(self.rtol, 1e-6), self.maxiter)
         else:
-            y = self._pcg(x.astype(jnp.float64), self._matvec64,
-                          self.rtol, self.maxiter)
+            y, info = self._pcg(x.astype(jnp.float64), self._matvec64,
+                                self.rtol, self.maxiter)
         if squeeze:
             y = y[:, 0]
-        return y
+        return y, info
 
     def approx_mv(self, x):
         """Preconditioner-quality f32 solve for mixed-precision ladders."""
         squeeze = x.ndim == 1
         if squeeze:
             x = x[:, None]
-        y = self._pcg(x.astype(jnp.float32), self._matvec32,
-                      self.approx_rtol, self.approx_maxiter)
+        y, _ = self._pcg(x.astype(jnp.float32), self._matvec32,
+                         self.approx_rtol, self.approx_maxiter)
+        if squeeze:
+            y = y[:, 0]
+        return y
+
+    def precond_mv(self, x):
+        """ONE f32 V-cycle — the raw preconditioner apply (for outer Krylov
+        methods that bring their own convergence control, e.g. the
+        V-cycle-preconditioned projected block-CG adjoint)."""
+        squeeze = x.ndim == 1
+        if squeeze:
+            x = x[:, None]
+        y = self._vcycle(0, x.astype(jnp.float32)).astype(
+            jnp.float64 if self.W64 is not None else jnp.float32)
         if squeeze:
             y = y[:, 0]
         return y

@@ -243,6 +243,15 @@ class SchwarzPCGFactor:
         return self.op.mv(x)
 
     def mv(self, bvec):
+        x, _ = self.mv_info(bvec)
+        return x
+
+    def mv_info(self, bvec):
+        """Like ``mv`` but also returns convergence info: niter, per-column
+        final squared residuals and the squared tolerance, so callers can
+        detect a silent ``maxiter`` truncation (VERDICT r1 §9: one-level
+        Schwarz conditioning grows with device count; an unconverged apply
+        must be visible, the reference's SpLuOperator.count analog)."""
         squeeze = bvec.ndim == 1
         if squeeze:
             bvec = bvec[:, None]
@@ -277,10 +286,11 @@ class SchwarzPCGFactor:
         z0 = self.btf.mv(bvec)
         rz0 = psum(jnp.sum(bvec * z0, axis=0), axis)
         carry = (jnp.asarray(0), x0, bvec, z0, rz0)
-        _, x, _, _, _ = jax.lax.while_loop(cond, body, carry)
+        k_end, x, r, _, _ = jax.lax.while_loop(cond, body, carry)
+        res2 = psum(jnp.sum(r * r, axis=0), axis)
         if squeeze:
             x = x[:, 0]
-        return x
+        return x, {"niter": k_end, "res2": res2, "tol2": tol2}
 
     def __call__(self, x):
         return self.mv(x)

@@ -117,6 +117,46 @@ class TestGradients:
         err = float(jnp.abs(g - g_o).max() / jnp.abs(g_o).max())
         assert err < 1e-8, err
 
+    def test_dl_grad_matches_fd_of_computed_function(self):
+        """dl is exact reverse-mode of the COMPUTED (truncated-subspace)
+        eigenpairs, so the right truth is a finite difference of the same
+        forward function — not the oracle (whose difference is the subspace
+        truncation error, which dl differentiates exactly)."""
+        n, N = 80, 4
+        A0, B0 = make_pencil(n, seed=3)
+        # m = 40: the wanted modes just converge; running far past
+        # convergence (m = 55 here gives trailing betas ~ 1e-10) makes the
+        # reverse three-term sweep amplify rounding (documented dl caveat)
+        cfg = EighGenConfig(N=N, m=40, sigma=0.0, adjoint_method="dl")
+        f = self._objective(lambda A, B: eigh_gen_dense(A, B, cfg))
+        rng = np.random.default_rng(4)
+        x0 = jnp.asarray(0.05 * rng.standard_normal(n))
+        g = jax.grad(f)(x0, A0, B0)
+        pert = jnp.asarray(rng.standard_normal(n))
+        h = 1e-5
+        fp = float(f(x0 + h * pert, A0, B0))
+        fm = float(f(x0 - h * pert, A0, B0))
+        fd = (fp - fm) / (2 * h)
+        ans = float(pert @ g)
+        assert abs(ans - fd) / abs(fd) < 1e-7, (ans, fd)
+
+    def test_dl_vjp_jit_clean(self):
+        """dl as EighGenConfig.adjoint_method must trace under jit (no host
+        device_get branch — VERDICT r1 §7)."""
+        n, N = 60, 3
+        A0, B0 = make_pencil(n, seed=7)
+        cfg = EighGenConfig(N=N, m=45, sigma=0.0, adjoint_method="dl")
+        cfg_ref = EighGenConfig(N=N, m=45, sigma=0.0, adjoint_method="sibk",
+                                adjoint_maxiter=60)
+        f = self._objective(lambda A, B: eigh_gen_dense(A, B, cfg))
+        f_ref = self._objective(lambda A, B: eigh_gen_dense(A, B, cfg_ref))
+        rng = np.random.default_rng(8)
+        x0 = jnp.asarray(0.05 * rng.standard_normal(n))
+        g = jax.jit(jax.grad(f))(x0, A0, B0)
+        g_ref = jax.grad(f_ref)(x0, A0, B0)
+        err = float(jnp.abs(g - g_ref).max() / jnp.abs(g_ref).max())
+        assert err < 1e-6, err
+
     def test_dl_method_gradient(self):
         """dl through the class API (host dispatch)."""
         n, N = 70, 3

@@ -1,0 +1,77 @@
+"""CPU-side validation of the TPU double-float (Dekker split) contraction
+kernels against the native f64 product (ADVICE r1: the split path must be
+exercised by CI even though CPU short-circuits to native f64 by default)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from eigd_tpu.ops.collective import (chunked_dot_f32, dd_dot, dd_dot_rowsT,
+                                     qr_tall)
+
+
+@pytest.mark.parametrize("m,n,k", [(8, 5000, 3), (16, 300, 8), (1, 8192, 1)])
+def test_dd_dot_split_matches_f64(m, n, k):
+    rng = np.random.default_rng(0)
+    # mixed magnitudes so input-rounding errors would show if mishandled
+    X = jnp.asarray(rng.standard_normal((m, n)) *
+                    10.0 ** rng.uniform(-6, 6, size=(m, 1)))
+    w = jnp.asarray(rng.standard_normal((n, k)))
+    ref = np.asarray(X) @ np.asarray(w)
+    got = np.asarray(dd_dot(X, w, force_split=True))
+    scale = np.linalg.norm(ref)
+    assert np.linalg.norm(got - ref) / scale < 1e-12
+
+
+def test_dd_dot_split_cancellation():
+    # catastrophic-cancellation column: hi parts cancel, lo parts carry the
+    # answer — a sign bug in the split would give O(1) relative error
+    n = 4096
+    rng = np.random.default_rng(1)
+    a = rng.standard_normal(n)
+    X = jnp.asarray(np.stack([a, -a + 1e-9 * rng.standard_normal(n)]))
+    w = jnp.asarray(np.ones((n, 1)))
+    ref = np.asarray(X) @ np.asarray(w)
+    got = np.asarray(dd_dot(X, w, force_split=True))
+    assert abs(got[0, 0] + got[1, 0] - (ref[0, 0] + ref[1, 0])) < 1e-10
+
+
+@pytest.mark.parametrize("rows,n,k", [(32, 300, 8), (4, 64, 4)])
+def test_dd_dot_rowsT_split_matches_f64(rows, n, k):
+    rng = np.random.default_rng(2)
+    R = jnp.asarray(rng.standard_normal((rows, n)) *
+                    10.0 ** rng.uniform(-4, 4, size=(rows, 1)))
+    h = jnp.asarray(rng.standard_normal((rows, k)))
+    ref = np.asarray(R).T @ np.asarray(h)
+    got = np.asarray(dd_dot_rowsT(R, h, force_split=True))
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 1e-12
+
+
+def test_dd_dot_split_under_jit():
+    rng = np.random.default_rng(3)
+    X = jnp.asarray(rng.standard_normal((6, 5000)))
+    w = jnp.asarray(rng.standard_normal((5000, 2)))
+    f = jax.jit(lambda X, w: dd_dot(X, w, force_split=True))
+    ref = np.asarray(X) @ np.asarray(w)
+    got = np.asarray(f(X, w))
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 1e-12
+
+
+def test_chunked_dot_f32_accuracy():
+    # f32 inputs, f64 chunk accumulation: floor ~ (chunk/128)*eps32
+    rng = np.random.default_rng(4)
+    n = 1 << 16
+    X = jnp.asarray(rng.standard_normal((4, n)))
+    w = jnp.asarray(rng.standard_normal((n, 3)))
+    ref = np.asarray(X) @ np.asarray(w)
+    got = np.asarray(chunked_dot_f32(X, w))
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 5e-6
+
+
+def test_qr_tall_serial():
+    rng = np.random.default_rng(5)
+    R = jnp.asarray(rng.standard_normal((200, 5)))
+    Q, r = qr_tall(R, None)
+    assert np.allclose(np.asarray(Q) @ np.asarray(r), np.asarray(R),
+                       atol=1e-12)
