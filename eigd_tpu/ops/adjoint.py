@@ -477,15 +477,18 @@ def sibk(Phib, A, B, lam, Phi, mode="normal", psi=None, sigma=None,
         return jax.vmap(solve_one, in_axes=(0, 1), out_axes=(1, 0))(
             alphas, rhs)
 
-    def one_round(psi_):
+    def one_round(psi_, eps_f):
         R = lcast(op_residual(psi_))
-        # A mixed (f32) ladder bottoms out around ~1e-6 of the round's own
-        # residual scale; gate the within-round exit there so the loop
-        # doesn't burn steps it cannot convert into progress.
+        # The within-round exit is gated at eps_f * (round residual scale):
+        # surrogate accuracy below the round's achievable TRUE contraction
+        # (the factor-apply quality) is wasted ladder steps. eps_f starts at
+        # the mixed-ladder design floor and is RE-MEASURED from the achieved
+        # contraction of each completed round (self-calibrating: an f32
+        # direct factor of an ill-conditioned shift really delivers ~1e-2
+        # per round, not 3e-6 — measured at 263k DOF, round 1).
         rnorm_round = jnp.sqrt(
             jnp.max(psum(jnp.sum(R * R, axis=0), axis))).astype(dtype)
-        floor = 3e-6 if ldt != dtype else 0.0
-        tol_round = jnp.maximum(tol, floor * rnorm_round)
+        tol_round = jnp.maximum(tol, eps_f * rnorm_round)
         # Seed the block: thin QR of the projected residuals (R is already in
         # the projected subspace, so the Q columns stay there).
         Wseed, r0 = qr_tall(R, axis)  # (n, N), (N, N)
@@ -547,27 +550,43 @@ def sibk(Phib, A, B, lam, Phi, mode="normal", psi=None, sigma=None,
         carry = (jnp.asarray(0), jnp.asarray(False), W, Z, H)
         t_end, _, W, Z, H = jax.lax.while_loop(cond, body, carry)
 
-        Ymat, resids = solve_all(H, r0)
+        # The round update also solves via the regularized normal equations:
+        # at the moderate conditioning of the shifted projected systems the
+        # update error (~cond^2 * eps64) sits below the ladder's own floor,
+        # and the outer rounds restart on TRUE residuals anyway — while a
+        # vmapped emulated-f64 Householder QR per round was a measured
+        # ~0.1 s/round at 263k DOF.
+        Ymat, resids = solve_all(H, r0, cheap=True)
         psi_ = psi_ + jax.lax.dot_general(
             Z, lcast(Ymat), (((0,), (0,)), ((), ())),
             preferred_element_type=ldt).astype(dtype)
         return psi_, resids, t_end * N
 
     hist = jnp.full((max(1, nrestart), N), jnp.nan, dtype=dtype)
+    floor0 = 3e-6 if ldt != dtype else 1e-14
 
     def round_cond(carry):
-        r, psi_, resn, _, _ = carry
-        return (r < max(1, nrestart)) & jnp.any(resn > tol)
+        r, psi_, resn, _, _, eps_f, contraction = carry
+        # stop on budget, convergence, or round-level stagnation (the last
+        # round bought < 40% reduction: the ladder is at its quality floor
+        # and further rounds burn factor applies without progress)
+        return ((r < max(1, nrestart)) & jnp.any(resn > tol)
+                & (contraction < 0.6))
 
     def round_body(carry):
-        r, psi_, _, hist, nsteps = carry
-        psi_, resids, t_end = one_round(psi_)
+        r, psi_, resn_prev, hist, nsteps, eps_f, _ = carry
+        psi_, resids, t_end = one_round(psi_, eps_f)
         hist = hist.at[r].set(resids)
-        return r + 1, psi_, true_resnorm(psi_), hist, nsteps + t_end
+        resn = true_resnorm(psi_)
+        achieved = jnp.max(resn) / jnp.maximum(jnp.max(resn_prev), 1e-300)
+        eps_next = jnp.clip(0.5 * achieved, floor0, 0.5)
+        return (r + 1, psi_, resn, hist, nsteps + t_end, eps_next,
+                achieved)
 
     resn0 = true_resnorm(psi)
-    carry = (jnp.asarray(0), psi, resn0, hist, jnp.asarray(0))
-    rounds, psi, resn, hist, nsteps = jax.lax.while_loop(
+    carry = (jnp.asarray(0), psi, resn0, hist, jnp.asarray(0),
+             jnp.asarray(floor0, dtype=dtype), jnp.asarray(0.0, dtype=dtype))
+    rounds, psi, resn, hist, nsteps, _, _ = jax.lax.while_loop(
         round_cond, round_body, carry)
 
     # Enforce the orthogonality constraint Phi^T B psi = 0 explicitly before
@@ -594,19 +613,43 @@ def sibk(Phib, A, B, lam, Phi, mode="normal", psi=None, sigma=None,
 
 def pcpg(Phib, A, B, lam, Phi, mode="normal", psi=None, sigma=None,
          factor=None, rtol=1e-10, atol=1e-30, eig_atol=1e-5, maxiter=100,
-         reset=25, callback=None, axis=None):
+         reset=25, callback=None, axis=None, precond=None, deflate=None):
     """PCPG adjoint solver (Alvin, AIAA J. 1997), reference :699-869.
 
     All N systems advance together as an (n, N) block with per-column scalar
     coefficients; converged columns are frozen by masking, and the loop exits
     once every column converges (reference :832-840). info carries the
     per-iteration residual history (the reference's callback curves).
+
+    ``precond``: optional cheap preconditioner apply replacing the exact
+    ``factor.mv``. The key TPU redesign for large n: the projected operator
+    (A - lam_i B) restricted to the B-orthogonal complement of the computed
+    modes is SPD, so ONE f32 multigrid V-cycle (GridMGFactor.precond_mv) or
+    one f32 direct-factor apply (RefinedFactor.approx_mv) per iteration is
+    enough — CG brings the convergence control that the exact factor apply
+    (a full inner PCG solve, ~15x a V-cycle at 1M DOF) duplicated. With the
+    LAA initial guess the initial residual is depleted on all RESOLVED Ritz
+    directions, so the effective condition number is governed by the first
+    unresolved eigenvalue, not lam_{N+1}. The beta update is flexible
+    (Polak-Ribiere) so the slightly nonlinear f32 preconditioner cannot
+    break conjugacy. Inputs to ``precond`` are cast to the preconditioner's
+    own dtype contract (f32 in, f32 out) and results back to f64.
+
+    ``deflate``: optional (U, BU) pair of B-orthonormal row bases of modes
+    deflated out of the FORWARD solve (e.g. rigid-body modes, known
+    eigenvalue 0). The projected operator is indefinite on that subspace
+    ((0 - lam_i) < 0), which would break CG; instead the deflated-mode
+    components of the adjoint are resolved EXPLICITLY —
+    psi_i += u_r (u_r . Phib_i) / lam_i, the exact solution along a known
+    eigendirection — and every CG iterate is kept B-orthogonal to U.
+    Normal mode only (the deflation feature itself is normal-mode only).
     """
     del callback
     A = as_operator(A)
     B = as_operator(B)
     lam = jnp.asarray(lam)
     n, N = Phib.shape
+    dtype = Phib.dtype
 
     if psi is None:
         psi = jnp.zeros_like(Phib)
@@ -615,6 +658,33 @@ def pcpg(Phib, A, B, lam, Phi, mode="normal", psi=None, sigma=None,
     rnorm0 = jnp.sqrt(jnp.max(psum(jnp.sum(Phib * Phib, axis=0), axis)))
     tol = jnp.maximum(rtol * rnorm0, atol)
 
+    if precond is None:
+        def M(Zp):
+            return factor.mv(Zp)
+    else:
+        def M(Zp):
+            return precond(Zp.astype(jnp.float32)).astype(dtype)
+
+    if deflate is not None:
+        if mode != "normal":
+            raise NotImplementedError(
+                "pcpg deflation handling is normal-mode only")
+        U, BU = deflate
+        # exact adjoint components along the deflated eigendirections
+        psi = psi + dd_dot_rowsT(U, pdot(U, Phib, axis) / lam[None, :])
+
+        def defl_r(X):  # residual-space projection (coefficients u_r . X)
+            return X - dd_dot_rowsT(BU, pdot(U, X, axis))
+
+        def defl_z(X):  # solution-space projection (coefficients Bu_r . X)
+            return X - dd_dot_rowsT(U, pdot(BU, X, axis))
+    else:
+        def defl_r(X):
+            return X
+
+        def defl_z(X):
+            return X
+
     if mode == "normal":
         R = -Phib - (A.mv(psi) - B.mv(psi) * lam[None, :])
     elif mode == "buckling":
@@ -622,27 +692,33 @@ def pcpg(Phib, A, B, lam, Phi, mode="normal", psi=None, sigma=None,
     else:
         raise ValueError(f"Unknown mode {mode!r}")
     G = pdot(Phi.T, R, axis)
-    R = R - BPhi @ G
+    R = defl_r(R - BPhi @ G)
 
     def cond(carry):
-        k, psi, R, P0, zTr_prev, hist = carry
+        k, psi, R, Rprev, P0, zTr_prev, hist = carry
         resn2 = psum(jnp.sum(R * R, axis=0), axis)
         return (k < maxiter) & jnp.any(resn2 > tol * tol)
 
     def body(carry):
-        k, psi, R, P0, zTr_prev, hist = carry
+        k, psi, R, Rprev, P0, zTr_prev, hist = carry
         resn = jnp.sqrt(psum(jnp.sum(R * R, axis=0), axis))
         hist = hist.at[k].set(resn)
         active = resn > tol
 
-        Zp = R - BPhi @ pdot(Phi.T, R, axis)
-        Z = factor.mv(Zp)
-        Z = Z - Phi @ pdot(BPhi.T, Z, axis)
+        Zp = defl_r(R - BPhi @ pdot(Phi.T, R, axis))
+        Z = M(Zp)
+        Z = defl_z(Z - Phi @ pdot(BPhi.T, Z, axis))
 
         zTr = psum(jnp.sum(Z * R, axis=0), axis)
+        # Flexible (Polak-Ribiere) beta: zTr - z . r_prev vanishes for an
+        # exact fixed preconditioner (orthogonality of successive projected
+        # residuals) but keeps the directions conjugate when M is a noisy
+        # f32 V-cycle. Periodic hard reset as in the reference (:832-840).
+        zTr_flex = zTr - psum(jnp.sum(Z * Rprev, axis=0), axis)
         is_reset = (k % reset) == 0
         beta = jnp.where(is_reset, 0.0,
-                         zTr / jnp.where(zTr_prev == 0.0, 1.0, zTr_prev))
+                         zTr_flex / jnp.where(zTr_prev == 0.0, 1.0,
+                                              zTr_prev))
         P = Z + beta[None, :] * P0
 
         tA = A.mv(P)
@@ -653,21 +729,21 @@ def pcpg(Phib, A, B, lam, Phi, mode="normal", psi=None, sigma=None,
         else:
             denom = psum(jnp.sum(tB * P, axis=0)
                          + lam * jnp.sum(tA * P, axis=0), axis)
-        step = jnp.where(active,
+        step = jnp.where(active & (denom > 0.0),
                          zTr / jnp.where(denom == 0.0, 1.0, denom), 0.0)
 
         psi = psi + step[None, :] * P
         if mode == "normal":
-            R = R - step[None, :] * (tA - tB * lam[None, :])
+            Rn = R - step[None, :] * (tA - tB * lam[None, :])
         else:
-            R = R - step[None, :] * (tB + tA * lam[None, :])
-        return k + 1, psi, R, P, zTr, hist
+            Rn = R - step[None, :] * (tB + tA * lam[None, :])
+        return k + 1, psi, Rn, R, P, zTr, hist
 
     P0 = 0.0 * R
     zTr0 = jnp.ones((N,), dtype=R.dtype)
     hist0 = jnp.full((maxiter, N), jnp.nan, dtype=R.dtype)
-    niter, psi, R, _, _, hist = jax.lax.while_loop(
-        cond, body, (jnp.asarray(0), psi, R, P0, zTr0, hist0))
+    niter, psi, R, _, _, _, hist = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0), psi, R, 0.0 * R, P0, zTr0, hist0))
 
     psi = psi - Phi @ pdot(BPhi.T, psi, axis)
     psi, data = generate_adjoint_correction(lam, Phi, psi, G=G,

@@ -86,8 +86,13 @@ def _eigh_gen_dense_fwd(A, B, cfg):
     return (lam, Phi), (A, B, res, factor)
 
 
-def solve_eig_adjoint(A, B, res, factor, lam_bar, Phi_bar, cfg):
+def solve_eig_adjoint(A, B, res, factor, lam_bar, Phi_bar, cfg,
+                      deflate=None):
     """Shared reverse-pass core: adjoint solve + correction + weight blocks.
+
+    ``deflate``: the (U, BU) basis deflated out of the forward Lanczos
+    iteration (rigid modes); pcpg resolves those components explicitly
+    (the projected operator is indefinite there, see adj.pcpg).
 
     Returns (W_A, W_B, Phi) such that the matrix cotangents are
       A_bar =  W_A Phi^T,  B_bar = -W_B Phi^T   (normal mode)
@@ -113,7 +118,7 @@ def solve_eig_adjoint(A, B, res, factor, lam_bar, Phi_bar, cfg):
     psi0 = adj.laa(Phi_bar, B, factor, res, b_ortho=True, mode=cfg.mode,
                    axis=cfg.axis,
                    approx=(cfg.adjoint_mixed
-                           and cfg.adjoint_method == "sibk"))
+                           and cfg.adjoint_method in ("sibk", "pcpg")))
     if cfg.adjoint_method == "laa":
         psi, data = adj.generate_adjoint_correction(
             res.lam, res.Phi, psi0, Phib=Phi_bar, eig_atol=cfg.eig_atol,
@@ -125,10 +130,19 @@ def solve_eig_adjoint(A, B, res, factor, lam_bar, Phi_bar, cfg):
             eig_atol=cfg.eig_atol, maxiter=cfg.adjoint_maxiter,
             nrestart=cfg.nrestart, axis=cfg.axis, mixed=cfg.adjoint_mixed)
     elif cfg.adjoint_method == "pcpg":
+        # adjoint_mixed: precondition with ONE f32 V-cycle (mg) or one f32
+        # direct-factor apply instead of the exact f64 solve — CG supplies
+        # the convergence control the exact apply duplicated, cutting the
+        # per-iteration cost ~15x at 1M DOF (see adj.pcpg docstring).
+        precond = None
+        if cfg.adjoint_mixed:
+            precond = (getattr(factor, "precond_mv", None)
+                       or getattr(factor, "approx_mv", None))
         psi, data, _ = adj.pcpg(
             Phi_bar, A, B, res.lam, res.Phi, mode=cfg.mode, psi=psi0,
             factor=factor, rtol=cfg.adjoint_rtol, eig_atol=cfg.eig_atol,
-            maxiter=cfg.adjoint_maxiter, axis=cfg.axis)
+            maxiter=cfg.adjoint_maxiter, axis=cfg.axis, precond=precond,
+            deflate=deflate)
     elif cfg.adjoint_method == "pgmres":
         psi, data, _ = adj.pgmres(
             Phi_bar, A, B, res.lam, res.Phi, mode=cfg.mode, psi=psi0,
@@ -242,7 +256,14 @@ def _eigh_gen_fwd(theta, problem, cfg):
 def _eigh_gen_bwd(problem, cfg, saved, cotangents):
     theta, A, B, res, factor = saved
     lam_bar, Phi_bar = cotangents
-    W_A, W_B, Phi = solve_eig_adjoint(A, B, res, factor, lam_bar, Phi_bar, cfg)
+    deflate = None
+    if problem.nullspace is not None and cfg.adjoint_method == "pcpg":
+        from .lanczos import b_orthonormalize_rows
+
+        deflate = b_orthonormalize_rows(problem.nullspace(theta), B.mv,
+                                        axis=cfg.axis)
+    W_A, W_B, Phi = solve_eig_adjoint(A, B, res, factor, lam_bar, Phi_bar,
+                                      cfg, deflate=deflate)
 
     sign_b = -1.0 if cfg.mode == "normal" else 1.0
 

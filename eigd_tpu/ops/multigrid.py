@@ -177,6 +177,9 @@ def estimate_lmax(W, dinv, nx, ny, ndof, iters=12, seed=7):
     n = (nx + 1) * (ny + 1) * ndof
     v = jax.random.uniform(jax.random.PRNGKey(seed), (n,), dtype=W.dtype,
                            minval=-1.0, maxval=1.0)
+    # inherit W's shard_map variance so the fori_loop carry types match
+    # when this runs (replicated) inside a shard_map region
+    v = v * (1.0 + 0.0 * W.reshape(-1)[0])
 
     def body(_, v):
         w = dinv * stencil_matvec(W, v, nx, ny, ndof)

@@ -88,8 +88,12 @@ class GridPartition:
         return self.ndev * self.elems_local
 
 
-def make_partition(nx, ny, ndev, ndof=2) -> GridPartition:
+def make_partition(nx, ny, ndev, ndof=2, multiple=1) -> GridPartition:
+    """``multiple``: round L up so each device owns a multiple of this many
+    lines (the sharded multigrid factor needs L % 2**shard_levels == 0 for
+    device-local grid transfers)."""
     L = -(-(nx + 1) // ndev)  # ceil
+    L = -(-L // multiple) * multiple
     return GridPartition(nx=nx, ny=ny, ndof=ndof, ndev=ndev, L=L)
 
 

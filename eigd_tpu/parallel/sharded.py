@@ -304,6 +304,30 @@ class SchwarzPCGFactor:
         return cls(*children, *aux)
 
 
+def _sharded_mg_factor(shifted_mats, part, axis, shard_levels, rtol=1e-11):
+    """Local element matrices of the shifted operator -> line-sharded
+    multigrid factor. The element block is (L columns x ny rows) in
+    column-major slot order; stencil_from_elements wants e = i + nx*j."""
+    from ..ops.stencil import stencil_from_elements
+    from .mgshard import ShardedGridMGFactor
+
+    ndof = part.ndof
+    ny = part.ny
+    d4 = shifted_mats.shape[1]
+    em = shifted_mats.reshape(part.L, ny, d4, d4).transpose(
+        1, 0, 2, 3).reshape(ny * part.L, d4, d4)
+    Wl = stencil_from_elements(em, part.L, ny, ndof)  # (L+1, ny+1, ...)
+    W_local = Wl[: part.L]
+    if part.ndev > 1:
+        # the halo-line row (couplings ONTO the right neighbour's first
+        # line from this device's elements) ships right once
+        recv = jax.lax.ppermute(Wl[part.L:], axis,
+                                [(d, d + 1) for d in range(part.ndev - 1)])
+        W_local = W_local.at[:1].add(recv)
+    return ShardedGridMGFactor.build(W_local, part, axis,
+                                     shard_levels=shard_levels, rtol=rtol)
+
+
 # ---------------------------------------------------------------------------
 # Sharded natural-frequency objective + train step (flagship dryrun path)
 # ---------------------------------------------------------------------------
@@ -312,7 +336,9 @@ class SchwarzPCGFactor:
 def make_sharded_objective(n_devices, nx, ny, Lx=2.0, Ly=1.0, N=2, m=24,
                            sigma=-10.0, adjoint_maxiter=16, nrestart=2,
                            cg_maxiter=60, axis="grid", mesh=None,
-                           qweight=1e-3):
+                           qweight=1e-3, factor="schwarz",
+                           adjoint_method="sibk", shard_levels=2,
+                           lanczos_block=1):
     """Build (objective(x), fltr, mesh) for the free-free plane-stress
     natural-frequency problem with the solve sharded over node lines.
 
@@ -320,6 +346,13 @@ def make_sharded_objective(n_devices, nx, ny, Lx=2.0, Ly=1.0, N=2, m=24,
     the Krylov iteration (robust under exact degeneracy, where a single-
     vector Krylov space contains only one copy of a repeated eigenvalue);
     the rigid modes are built per device from the physical grid coordinates.
+
+    factor="schwarz": CG on the sharded operator with the device-local
+    block-tridiagonal Cholesky preconditioner (one-level additive Schwarz).
+    factor="mg": the line-sharded geometric multigrid factor
+    (parallel.mgshard.ShardedGridMGFactor) — the only 1M-DOF-capable
+    factor, now multi-device (VERDICT r1 §3); pair it with
+    adjoint_method="pcpg" for the V-cycle-preconditioned adjoint.
     """
     from ..fem import assembly as fem
     from ..fem.filter import NodeFilter
@@ -337,7 +370,9 @@ def make_sharded_objective(n_devices, nx, ny, Lx=2.0, Ly=1.0, N=2, m=24,
     C0 = fem.plane_stress_C0()
     Be, He, detJ = plane_stress_tables(X, conn)  # (nq, nelems, ...)
 
-    part = make_partition(nx, ny, n_devices, ndof=2)
+    part = make_partition(nx, ny, n_devices, ndof=2,
+                          multiple=(1 << shard_levels) if factor == "mg"
+                          else 1)
     gidx = element_gather_index(part)  # (elems_padded,)
     dofs_l = jnp.asarray(local_dof_map(part))  # identical on every device
     real = jnp.asarray((gidx >= 0).astype(np.float64))
@@ -374,6 +409,8 @@ def make_sharded_objective(n_devices, nx, ny, Lx=2.0, Ly=1.0, N=2, m=24,
     def factor_fn(A, B, sig, mode):
         assert mode == "normal"
         shifted = A.mats - sig * B.mats
+        if factor == "mg":
+            return _sharded_mg_factor(shifted, part, axis, shard_levels)
         return SchwarzPCGFactor.build(shifted, dofs_l, part, axis,
                                       maxiter=cg_maxiter)
 
@@ -405,9 +442,11 @@ def make_sharded_objective(n_devices, nx, ny, Lx=2.0, Ly=1.0, N=2, m=24,
 
     problem = EigProblem(assemble=assemble, factor=factor_fn, v0=v0_fn,
                          nullspace=nullspace_fn)
-    cfg = EighGenConfig(N=N, m=m, sigma=sigma, adjoint_method="sibk",
+    cfg = EighGenConfig(N=N, m=m, sigma=sigma, adjoint_method=adjoint_method,
                         adjoint_maxiter=adjoint_maxiter, nrestart=nrestart,
-                        axis=axis)
+                        axis=axis, block=lanczos_block,
+                        adjoint_mixed=(adjoint_method == "pcpg"
+                                       and factor == "mg"))
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(axis), P(axis), P(axis), P(axis)),
@@ -450,3 +489,333 @@ def sharded_train_step(n_devices, nx, ny, **kwargs):
         x1, val = step(x0)
     x1.block_until_ready()
     return x1, val
+
+
+# ---------------------------------------------------------------------------
+# Sharded thermal objective (ndof = 1; VERDICT r1 §4)
+# ---------------------------------------------------------------------------
+
+
+def make_sharded_thermal_objective(n_devices, nx, ny, Lx=1.0, Ly=1.0, N=4,
+                                   m=48, sigma=-0.1, adjoint_maxiter=24,
+                                   nrestart=2, cg_maxiter=300, axis="grid",
+                                   mesh=None, qweight=1e-3,
+                                   factor="schwarz", shard_levels=2,
+                                   kappa=1.0, beta=1e-6, p=3.0):
+    """Sharded scalar heat-conduction eigenproblem objective.
+
+    Same line partition and halo machinery as the plane-stress path with
+    ndof = 1 (reference thermal.py:14-994 roles). The pure-Neumann pencil's
+    near-zero constant mode is mode 0 and every aggregate skips it
+    (reference :428-442); it is solved, not deflated, exactly like the
+    serial ThermalTopologyAnalysis.
+    """
+    from ..fem import assembly as fem
+    from ..fem.filter import NodeFilter
+    from ..fem.model import make_grid
+    from ..fem.quad import thermal_tables
+    from ..ops.autodiff import EigProblem, EighGenConfig, eigh_gen
+
+    if mesh is None:
+        mesh = Mesh(np.array(jax.devices()[:n_devices]), (axis,))
+
+    grid = make_grid(nx, ny, Lx, Ly)
+    fltr = NodeFilter(grid.conn, grid.X, r0=2.0 * (Ly / ny))
+    conn = jnp.asarray(grid.conn)
+    X = jnp.asarray(grid.X)
+    Be, He, detJ = thermal_tables(X, conn)  # (nq, nelems, ...)
+
+    part = make_partition(nx, ny, n_devices, ndof=1,
+                          multiple=(1 << shard_levels) if factor == "mg"
+                          else 1)
+    gidx = element_gather_index(part)
+    dofs_l = jnp.asarray(local_dof_map(part))
+    real = jnp.asarray((gidx >= 0).astype(np.float64))
+    gsafe = jnp.asarray(np.maximum(gidx, 0))
+    masks = jnp.asarray(pad_line_mask(part))
+
+    def scatter_cm(arr, axis_e):
+        moved = jnp.moveaxis(arr, axis_e, 0)
+        return moved[gsafe] * real.reshape((-1,) + (1,) * (moved.ndim - 1))
+
+    Be_cm = scatter_cm(Be, 1)   # (elems_padded, nq, 2, 4)
+    He_cm = scatter_cm(He, 1)   # (elems_padded, nq, 4)
+    dJ_cm = scatter_cm(detJ, 1)
+
+    def assemble(theta):
+        rhoE_l = theta["rhoE"]
+        Be_l = jnp.moveaxis(theta["Be"], 0, 1)
+        He_l = jnp.moveaxis(theta["He"], 0, 1)
+        dJ_l = jnp.moveaxis(theta["dJ"], 0, 1)
+        kcoef = kappa * ((1.0 - beta) * rhoE_l**p + beta)
+        BtB = jnp.einsum("qeij,qeil->qejl", Be_l, Be_l)
+        Ke = jnp.einsum("e,qe,qejl->ejl", kcoef, dJ_l, BtB)
+        ccoef = (1.0 - beta) * rhoE_l + beta
+        HtH = jnp.einsum("qei,qej->qeij", He_l, He_l)
+        Me = jnp.einsum("e,qe,qeij->eij", ccoef, dJ_l, HtH)
+        K = GridHaloOperator(Ke, dofs_l, part, axis)
+        M = GridHaloOperator(Me, dofs_l, part, axis)
+        return K, M
+
+    def factor_fn(A, B, sig, mode):
+        assert mode == "normal"
+        shifted = A.mats - sig * B.mats
+        if factor == "mg":
+            return _sharded_mg_factor(shifted, part, axis, shard_levels)
+        return SchwarzPCGFactor.build(shifted, dofs_l, part, axis,
+                                      maxiter=cg_maxiter)
+
+    def v0_fn(theta):
+        key = jax.random.PRNGKey(12345)
+        v = jax.random.uniform(key, (part.n_local,), dtype=jnp.float64,
+                               minval=-1.0, maxval=1.0)
+        d = jax.lax.axis_index(axis)
+        return v * masks[d]
+
+    problem = EigProblem(assemble=assemble, factor=factor_fn, v0=v0_fn)
+    cfg = EighGenConfig(N=N, m=m, sigma=sigma, adjoint_method="sibk",
+                        adjoint_maxiter=adjoint_maxiter, nrestart=nrestart,
+                        axis=axis)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(axis), P(axis), P(axis), P(axis)),
+             out_specs=P())
+    def solve_local(rhoE_l, Be_l, He_l, dJ_l):
+        theta = {"rhoE": rhoE_l, "Be": Be_l, "He": He_l, "dJ": dJ_l}
+        lam, Q = eigh_gen(theta, problem, cfg)
+        # modal-compliance-style aggregate SKIPPING mode 0 (the near-zero
+        # constant mode of the pure-Neumann pencil, reference :428-442),
+        # with a device-count-independent physical weight
+        d = jax.lax.axis_index(axis)
+        line = d * part.L + jnp.arange(part.n_local) // part.line_dofs
+        within = jnp.arange(part.n_local) % part.line_dofs
+        w = masks[d] * jnp.sin(0.37 * line + 0.11 * within)
+        f_q = psum(w @ Q, axis)                       # (N,) phi_i . f
+        comp = jnp.sum((f_q[1:] ** 2) / lam[1:])
+        qagg = psum(jnp.sum((w[:, None] * Q[:, 1:]) ** 2), axis)
+        return comp + jnp.sum(jnp.sqrt(lam[1:])) + qweight * qagg
+
+    def objective(x):
+        rho = fltr.apply(x)
+        rhoE = fem.element_density(rho, conn)
+        rhoE_cm = rhoE[gsafe] * real
+        return solve_local(rhoE_cm, Be_cm, He_cm, dJ_cm)
+
+    return objective, fltr, mesh, part
+
+
+# ---------------------------------------------------------------------------
+# Sharded buckling objective (masked Dirichlet pencil; VERDICT r1 §4)
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+class DiagHaloOperator:
+    """GridHaloOperator plus a local diagonal term (unit diagonal on masked
+    Dirichlet DOFs — the sharded mirror of GridStencilOperator.extra_diag in
+    the serial masked buckling path, models/buckling.py:162-184)."""
+
+    def __init__(self, op: GridHaloOperator, diag):
+        self.op = op
+        self.diag = diag
+
+    @property
+    def shape(self):
+        return self.op.shape
+
+    @property
+    def dtype(self):
+        return self.op.dtype
+
+    @property
+    def mats(self):
+        return self.op.mats
+
+    def mv(self, x):
+        y = self.op.mv(x)
+        if x.ndim == 2:
+            return y + self.diag[:, None] * x
+        return y + self.diag * x
+
+    def __call__(self, x):
+        return self.mv(x)
+
+    def tree_flatten(self):
+        return (self.op, self.diag), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def make_sharded_buckling_objective(n_devices, nx, ny, Lx=2.0, Ly=1.0, N=3,
+                                    m=40, sigma=3.0, adjoint_maxiter=24,
+                                    nrestart=2, cg_maxiter=400, axis="grid",
+                                    mesh=None, qweight=1e-3, ks_rho=160.0,
+                                    load_frac=0.2, p=3.0, q=5.0):
+    """Sharded linearized-buckling objective: Dirichlet DOFs masked (zeroed
+    rows/cols + unit diagonal), static preload solve K u = f through the
+    sharded Schwarz-PCG factor under the custom-VJP ``solve_spd`` (the path
+    adjoint, reference buckling.py:974-979), stress stiffness G(rho, u)
+    assembled from halo-exchanged displacements, and the buckling pencil
+    G phi = mu K phi solved in "buckling" mode with factor (K + sigma G)^-1.
+
+    Objective = KS(1/BLF) + qweight * eigenvector aggregate (sign-invariant,
+    device-count-independent weights) + compliance.
+    """
+    from ..fem import assembly as fem
+    from ..fem.filter import NodeFilter
+    from ..fem.model import make_grid
+    from ..fem.quad import stress_stiffness_tables
+    from ..ops.autodiff import (EigProblem, EighGenConfig, eigh_gen,
+                                solve_spd)
+
+    if mesh is None:
+        mesh = Mesh(np.array(jax.devices()[:n_devices]), (axis,))
+
+    grid = make_grid(nx, ny, Lx, Ly)
+    fltr = NodeFilter(grid.conn, grid.X, r0=2.0 * (Ly / ny))
+    conn = jnp.asarray(grid.conn)
+    X = jnp.asarray(grid.X)
+    C0 = fem.plane_stress_C0()
+    Be, Te, detJ = stress_stiffness_tables(X, conn)
+
+    part = make_partition(nx, ny, n_devices, ndof=2)
+    gidx = element_gather_index(part)
+    dofs_l = jnp.asarray(local_dof_map(part))
+    real = jnp.asarray((gidx >= 0).astype(np.float64))
+    gsafe = jnp.asarray(np.maximum(gidx, 0))
+    masks = jnp.asarray(pad_line_mask(part))
+
+    def scatter_cm(arr, axis_e):
+        moved = jnp.moveaxis(arr, axis_e, 0)
+        return moved[gsafe] * real.reshape((-1,) + (1,) * (moved.ndim - 1))
+
+    Be_cm = scatter_cm(Be, 1)
+    Te_cm = scatter_cm(Te, 1)
+    dJ_cm = scatter_cm(detJ, 1)
+
+    # -- Dirichlet mask + load, line-partitioned (host side) -----------------
+    b = part.line_dofs
+    free_full = np.ones(part.ndev * part.n_local)
+    free_full[:b] = 0.0  # clamp the left edge (line 0)
+    free_sh = jnp.asarray(free_full.reshape(part.ndev, part.n_local)
+                          * np.asarray(masks))
+
+    forces = np.zeros(part.ndev * part.n_local)
+    jmid = range(int(ny * (0.5 - load_frac / 2)),
+                 int(ny * (0.5 + load_frac / 2)) + 1)
+    # right-edge nodes live on global line nx at row j
+    for j in jmid:
+        forces[nx * b + 2 * j] = -1.0 / len(list(jmid))
+    forces_sh = jnp.asarray(forces.reshape(part.ndev, part.n_local))
+
+    perm_fwd = [(d + 1, d) for d in range(part.ndev - 1)]
+
+    def _halo_right(u):
+        if part.ndev == 1:
+            return jnp.zeros((b,), dtype=u.dtype)
+        return jax.lax.ppermute(u[:b], axis, perm_fwd)
+
+    def _mask_mats(mats, fm_l):
+        fm_ext = jnp.concatenate([fm_l, _halo_right(fm_l)])
+        me = fm_ext[dofs_l]
+        return mats * me[:, :, None] * me[:, None, :]
+
+    def _K_mats(theta, fm_l):
+        Be_l = jnp.moveaxis(theta["Be"], 0, 1)
+        dJ_l = jnp.moveaxis(theta["dJ"], 0, 1)
+        K = fem.stiffness_matrix(theta["rhoE"], Be_l, dJ_l, dofs_l,
+                                 (part.L + 1) * b, C0, p=p, q=q)
+        return _mask_mats(K.mats, fm_l)
+
+    def _G_mats(theta, u_l, fm_l):
+        Be_l = jnp.moveaxis(theta["Be"], 0, 1)
+        Te_l = jnp.moveaxis(theta["Te"], 0, 1)
+        dJ_l = jnp.moveaxis(theta["dJ"], 0, 1)
+        u_ext = jnp.concatenate([u_l * fm_l, _halo_right(u_l * fm_l)])
+        from ..fem.assembly import stiffness_interp
+
+        c = stiffness_interp(theta["rhoE"], p=p, q=q, rho0=1e-9)
+        ue = u_ext[dofs_l]
+        s = jnp.einsum("e,ik,qekl,el->qei", c, C0, Be_l, ue)
+        G0 = jnp.einsum("qe,qei,qeijl->ejl", dJ_l, s, Te_l)
+        Ge = jnp.zeros((dofs_l.shape[0], 8, 8), dtype=G0.dtype)
+        Ge = Ge.at[:, 0::2, 0::2].add(G0)
+        Ge = Ge.at[:, 1::2, 1::2].add(G0)
+        return _mask_mats(Ge, fm_l)
+
+    def solve_local_fn(rhoE_l, Be_l, Te_l, dJ_l):
+        d = jax.lax.axis_index(axis)
+        fm_l = free_sh[d]
+        fixed_l = masks[d] * (1.0 - fm_l)
+        theta = {"rhoE": rhoE_l, "Be": Be_l, "Te": Te_l, "dJ": dJ_l}
+
+        def build_K_op(th):
+            Km = _K_mats(th, fm_l)
+            return DiagHaloOperator(GridHaloOperator(Km, dofs_l, part, axis),
+                                    fixed_l)
+
+        def build_K_factor(th):
+            Km = _K_mats(th, fm_l)
+            return SchwarzPCGFactor.build(Km, dofs_l, part, axis,
+                                          maxiter=cg_maxiter)
+
+        fm_load = forces_sh[d] * fm_l
+        u = solve_spd(theta, fm_load, build_K_op, build_K_factor)
+        compliance = psum(fm_load @ u, axis)
+
+        def assemble(th2):
+            th, u_ = th2
+            Km = _K_mats(th, fm_l)
+            Gm = _G_mats(th, u_, fm_l)
+            K = DiagHaloOperator(GridHaloOperator(Km, dofs_l, part, axis),
+                                 fixed_l)
+            G = DiagHaloOperator(GridHaloOperator(Gm, dofs_l, part, axis),
+                                 0.0 * fixed_l)
+            return G, K
+
+        def factor_fn(A, B, sig, mode):
+            assert mode == "buckling"
+            mats = B.mats + sig * A.mats
+            return SchwarzPCGFactor.build(mats, dofs_l, part, axis,
+                                          maxiter=cg_maxiter)
+
+        def v0_fn(th2):
+            key = jax.random.PRNGKey(12345)
+            v = jax.random.uniform(key, (part.n_local,), dtype=jnp.float64,
+                                   minval=-1.0, maxval=1.0)
+            return v * fm_l
+
+        problem = EigProblem(assemble=assemble, factor=factor_fn, v0=v0_fn)
+        cfg = EighGenConfig(N=N, m=m, sigma=sigma, mode="buckling",
+                            adjoint_method="sibk",
+                            adjoint_maxiter=adjoint_maxiter,
+                            nrestart=nrestart, axis=axis)
+        lam, Q = eigh_gen((theta, u), problem, cfg)
+        import os as _os
+        if _os.environ.get("EIGD_DEBUG_BUCKLING"):
+            jax.debug.print("u2={u2} comp={c} lam={lam}",
+                            u2=psum(u @ u, axis), c=compliance, lam=lam)
+
+        # KS of 1/BLF (reference :641-700) + sign-invariant Q aggregate
+        mu = 1.0 / lam
+        c = jnp.max(mu)
+        ks = c + jnp.log(jnp.sum(jnp.exp(ks_rho * (mu - c)))) / ks_rho
+        line = d * part.L + jnp.arange(part.n_local) // b
+        within = jnp.arange(part.n_local) % b
+        w = masks[d] * jnp.sin(0.37 * line + 0.11 * within)
+        qagg = psum(jnp.sum((w[:, None] * Q) ** 2), axis)
+        return ks + qweight * qagg + 0.1 * compliance
+
+    solve_local = partial(shard_map, mesh=mesh,
+                          in_specs=(P(axis), P(axis), P(axis), P(axis)),
+                          out_specs=P())(solve_local_fn)
+
+    def objective(x):
+        rho = fltr.apply(x)
+        rhoE = fem.element_density(rho, conn)
+        rhoE_cm = rhoE[gsafe] * real
+        return solve_local(rhoE_cm, Be_cm, Te_cm, dJ_cm)
+
+    return objective, fltr, mesh, part

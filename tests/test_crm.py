@@ -138,3 +138,38 @@ class TestWingboxScalable:
         paths = m.write_modes(prefix=str(tmp_path / "mode"), nmodes=2)
         import os
         assert all(os.path.exists(p) for p in paths)
+
+
+class TestWingboxLarge:
+    @pytest.mark.slow
+    @pytest.mark.skipif(not __import__("os").environ.get("EIGD_RUN_SLOW"),
+                        reason="large-config CRM (>=100k DOF); run on TPU "
+                               "or set EIGD_RUN_SLOW=1")
+    def test_compliance_fd_large(self):
+        """VERDICT r1 §5: the CRM at >= 100k DOF through the station-padded
+        BCR factor — solve + adjoint + FD check + timing in the profile."""
+        import time
+
+        m = CRM(nspan=256, nchord=16, nheight=4, N=6, m=96)
+        assert m.nvars >= 100_000, m.nvars
+        t0 = time.time()
+        m.initialize()
+        m.initialize_adjoint()
+        m.add_modal_compliance_derivative(1.0)
+        m.finalize_adjoint()
+        m.profile["solve+adjoint wall (s)"] = time.time() - t0
+        x0 = jnp.asarray(m.x)
+        pert = jnp.asarray(np.random.default_rng(1).uniform(size=x0.shape))
+        h = 1e-6 * float(x0[0])
+
+        def val(x):
+            m.x = x
+            m.initialize()
+            return float(m.get_modal_compliance())
+
+        fd = (val(x0 + h * pert) - val(x0 - h * pert)) / (2 * h)
+        m.x = x0
+        rel = abs(float(pert @ m.xb) - fd) / abs(fd)
+        print("CRM large profile:", {k: v for k, v in m.profile.items()
+                                     if isinstance(v, (int, float, str))})
+        assert rel < 1e-5, rel

@@ -248,6 +248,203 @@ class TestGradientParity:
         ans = float(pert @ g_sh)
         assert abs(ans - fd) / abs(fd) < 1e-7, (ans, fd)
 
+    def test_sharded_mg_factor_gradient(self, mesh):
+        """The line-sharded multigrid factor (VERDICT r1 §3): objective +
+        gradient with factor='mg' and the V-cycle-preconditioned pcpg
+        adjoint agree with the serial path and with finite differences."""
+        nx, ny, N = 16, 8, 2
+        obj_sh, fltr, mesh2, part = make_sharded_objective(
+            NDEV, nx, ny, N=N, m=40, mesh=mesh, factor="mg",
+            adjoint_method="pcpg", adjoint_maxiter=200)
+        assert part.L % 4 == 0
+        grid = make_grid(nx, ny, 2.0, 1.0)
+        obj_se = _serial_objective(nx, ny, N, 40, -10.0, 1e-3, fltr, grid)
+
+        x0 = 0.8 * jnp.ones(fltr.num_design_vars) + 0.1 * jnp.sin(
+            jnp.arange(fltr.num_design_vars, dtype=jnp.float64))
+        with mesh:
+            v_sh, g_sh = jax.value_and_grad(obj_sh)(x0)
+        v_se, g_se = jax.value_and_grad(obj_se)(x0)
+        assert abs(float(v_sh) - float(v_se)) / abs(float(v_se)) < 1e-6
+        scale = float(jnp.max(jnp.abs(g_se)))
+        np.testing.assert_allclose(np.asarray(g_sh) / scale,
+                                   np.asarray(g_se) / scale, atol=1e-6)
+
+        pert = jnp.asarray(np.random.default_rng(7).uniform(size=x0.shape))
+        h = 1e-6
+        with mesh:
+            vp = obj_sh(x0 + h * pert)
+            vm = obj_sh(x0 - h * pert)
+        fd = (float(vp) - float(vm)) / (2 * h)
+        ans = float(pert @ g_sh)
+        assert abs(ans - fd) / abs(fd) < 1e-6, (ans, fd)
+
+    def test_sharded_thermal_gradient(self, mesh):
+        """Sharded scalar-field (ndof=1) thermal objective (VERDICT r1 §4):
+        serial-vs-sharded value/gradient parity + FD consistency."""
+        from eigd_tpu.parallel.sharded import make_sharded_thermal_objective
+        from eigd_tpu.fem.quad import thermal_tables
+        from eigd_tpu.ops.autodiff import EigProblem, EighGenConfig, eigh_gen
+
+        nx, ny, N = 12, 6, 3
+        obj_sh, fltr, mesh2, part = make_sharded_thermal_objective(
+            NDEV, nx, ny, N=N, m=36, mesh=mesh, cg_maxiter=400,
+            adjoint_maxiter=40)
+        grid = make_grid(nx, ny, 1.0, 1.0)
+
+        # serial twin
+        conn = jnp.asarray(grid.conn)
+        X = jnp.asarray(grid.X)
+        Be, He, detJ = thermal_tables(X, conn)
+        nnodes = grid.nnodes
+        kappa, beta, p = 1.0, 1e-6, 3.0
+
+        def assemble(rhoE):
+            K = fem.thermal_stiffness_matrix(rhoE, Be, detJ, conn, nnodes,
+                                             kappa=kappa, beta=beta, p=p)
+            M = fem.thermal_mass_matrix(rhoE, He, detJ, conn, nnodes,
+                                        beta=beta)
+            return K, M
+
+        problem = EigProblem(assemble=assemble)
+        cfg = EighGenConfig(N=N, m=36, sigma=-0.1, adjoint_method="sibk",
+                            adjoint_maxiter=40)
+        line_dofs = ny + 1
+        line = jnp.arange(nnodes) // line_dofs
+        within = jnp.arange(nnodes) % line_dofs
+        w = jnp.sin(0.37 * line + 0.11 * within)
+
+        def obj_se(x):
+            rho = fltr.apply(x)
+            rhoE = fem.element_density(rho, conn)
+            lam, Q = eigh_gen(rhoE, problem, cfg)
+            f_q = w @ Q
+            comp = jnp.sum((f_q[1:] ** 2) / lam[1:])
+            qagg = jnp.sum((w[:, None] * Q[:, 1:]) ** 2)
+            return comp + jnp.sum(jnp.sqrt(lam[1:])) + 1e-3 * qagg
+
+        x0 = 0.8 * jnp.ones(fltr.num_design_vars) + 0.1 * jnp.sin(
+            jnp.arange(fltr.num_design_vars, dtype=jnp.float64))
+        with mesh:
+            v_sh, g_sh = jax.value_and_grad(obj_sh)(x0)
+        v_se, g_se = jax.value_and_grad(obj_se)(x0)
+        assert abs(float(v_sh) - float(v_se)) / abs(float(v_se)) < 1e-6
+        scale = float(jnp.max(jnp.abs(g_se)))
+        np.testing.assert_allclose(np.asarray(g_sh) / scale,
+                                   np.asarray(g_se) / scale, atol=1e-6)
+
+        pert = jnp.asarray(np.random.default_rng(7).uniform(size=x0.shape))
+        h = 1e-6
+        with mesh:
+            vp = obj_sh(x0 + h * pert)
+            vm = obj_sh(x0 - h * pert)
+        fd = (float(vp) - float(vm)) / (2 * h)
+        ans = float(pert @ g_sh)
+        assert abs(ans - fd) / abs(fd) < 1e-6, (ans, fd)
+
+    def test_sharded_buckling_gradient(self, mesh):
+        """Sharded masked-Dirichlet buckling pencil (VERDICT r1 §4): static
+        preload + stress stiffness + buckling-mode eigensolve/adjoint agree
+        with a dense serial twin and with finite differences."""
+        from eigd_tpu.parallel.sharded import make_sharded_buckling_objective
+        from eigd_tpu.fem.quad import stress_stiffness_tables
+        from eigd_tpu.ops.autodiff import EigProblem, EighGenConfig, eigh_gen
+        from eigd_tpu.ops.operators import DenseOperator, ElementOperator
+
+        nx, ny, N = 12, 6, 2
+        # sigma just below the first buckling load factor (~0.0094 for this
+        # density/load; the shift must keep K + sigma*G positive definite)
+        sigma, ks_rho, p, q, load_frac = 0.008, 160.0, 3.0, 5.0, 0.2
+        obj_sh, fltr, mesh2, part = make_sharded_buckling_objective(
+            NDEV, nx, ny, N=N, m=30, mesh=mesh, sigma=sigma,
+            adjoint_maxiter=30, ks_rho=ks_rho, load_frac=load_frac)
+        grid = make_grid(nx, ny, 2.0, 1.0)
+
+        # dense serial twin: same masked full-space pencil, vanilla AD for
+        # the static solve, dense cholesky shift factor
+        conn = jnp.asarray(grid.conn)
+        X = jnp.asarray(grid.X)
+        C0 = fem.plane_stress_C0()
+        dofs = fem.element_dof_map(conn)
+        Be, Te, detJ = stress_stiffness_tables(X, conn)
+        nvars = 2 * grid.nnodes
+        b = 2 * (ny + 1)
+        free = np.ones(nvars)
+        free[:b] = 0.0
+        fm = jnp.asarray(free)
+        fixed = 1.0 - fm
+        forces = np.zeros(nvars)
+        jmid = range(int(ny * (0.5 - load_frac / 2)),
+                     int(ny * (0.5 + load_frac / 2)) + 1)
+        for j in jmid:
+            forces[nx * b + 2 * j] = -1.0 / len(list(jmid))
+        f = jnp.asarray(forces) * fm
+
+        me = fm[dofs]
+
+        def khat(rhoE):
+            K = fem.stiffness_matrix(rhoE, Be, detJ, dofs, nvars, C0,
+                                     p=p, q=q)
+            Km = K.mats * me[:, :, None] * me[:, None, :]
+            return ElementOperator(Km, dofs, nvars).to_dense() + jnp.diag(
+                fixed)
+
+        def ghat(rhoE, u):
+            G = fem.stress_stiffness_matrix(rhoE, u * fm, Be, Te, detJ,
+                                            dofs, conn, nvars, C0,
+                                            p=p, q=q, rho0=1e-9)
+            Gm = G.mats * me[:, :, None] * me[:, None, :]
+            return ElementOperator(Gm, dofs, nvars).to_dense()
+
+        def v0_fn(th):
+            import jax as _jax
+            key = _jax.random.PRNGKey(12345)
+            v = _jax.random.uniform(key, (nvars,), dtype=jnp.float64,
+                                    minval=-1.0, maxval=1.0)
+            # start in the free subspace: the masked fixed subspace carries
+            # theta = 1 Ritz values whose buckling map divides by zero
+            return v * fm
+
+        problem = EigProblem(
+            assemble=lambda th: (DenseOperator(ghat(*th)),
+                                 DenseOperator(khat(th[0]))),
+            v0=v0_fn)
+        cfg = EighGenConfig(N=N, m=30, sigma=sigma, mode="buckling",
+                            adjoint_method="sibk", adjoint_maxiter=30)
+        line = jnp.arange(nvars) // b
+        within = jnp.arange(nvars) % b
+        w = jnp.sin(0.37 * line + 0.11 * within)
+
+        def obj_se(x):
+            rho = fltr.apply(x)
+            rhoE = fem.element_density(rho, conn)
+            u = jnp.linalg.solve(khat(rhoE), f)
+            lam, Q = eigh_gen((rhoE, u), problem, cfg)
+            mu = 1.0 / lam
+            c = jnp.max(mu)
+            ks = c + jnp.log(jnp.sum(jnp.exp(ks_rho * (mu - c)))) / ks_rho
+            qagg = jnp.sum((w[:, None] * Q) ** 2)
+            return ks + 1e-3 * qagg + 0.1 * (f @ u)
+
+        x0 = 0.6 * jnp.ones(fltr.num_design_vars) + 0.05 * jnp.sin(
+            jnp.arange(fltr.num_design_vars, dtype=jnp.float64))
+        with mesh:
+            v_sh, g_sh = jax.value_and_grad(obj_sh)(x0)
+        v_se, g_se = jax.value_and_grad(obj_se)(x0)
+        assert abs(float(v_sh) - float(v_se)) / abs(float(v_se)) < 1e-6
+        scale = float(jnp.max(jnp.abs(g_se)))
+        np.testing.assert_allclose(np.asarray(g_sh) / scale,
+                                   np.asarray(g_se) / scale, atol=1e-6)
+
+        pert = jnp.asarray(np.random.default_rng(7).uniform(size=x0.shape))
+        h = 1e-6
+        with mesh:
+            vp = obj_sh(x0 + h * pert)
+            vm = obj_sh(x0 - h * pert)
+        fd = (float(vp) - float(vm)) / (2 * h)
+        ans = float(pert @ g_sh)
+        assert abs(ans - fd) / abs(fd) < 1e-6, (ans, fd)
+
     @pytest.mark.slow
     @pytest.mark.skipif(not os.environ.get("EIGD_RUN_SLOW"),
                         reason="~35 min on 1 CPU core; set EIGD_RUN_SLOW=1")
