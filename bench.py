@@ -40,6 +40,10 @@ M_LANCZOS = BLOCK * 22  # adaptive exit typically stops around 14-17 blocks
 # on a 16 GB chip. Override with EIGD_BENCH_FACTOR.
 _default_factor = "bcr_f32" if 2 * (NX + 1) * (NY + 1) < 500_000 else "mg"
 FACTOR = os.environ.get("EIGD_BENCH_FACTOR", _default_factor)
+SIGMA = float(os.environ.get("EIGD_BENCH_SIGMA", -10.0))
+ORTHO = os.environ.get("EIGD_BENCH_ORTHO", "local")
+APPROX_RTOL = float(os.environ.get("EIGD_BENCH_APPROX_RTOL", 1e-5))
+APPROX_MAXITER = int(os.environ.get("EIGD_BENCH_APPROX_MAXITER", 18))
 
 
 def log(*a):
@@ -56,12 +60,14 @@ def make_topo():
     # burned the full 5-round sibk budget against the mixed ladder's
     # ~1e-2/round contraction floor at this size; 1e-9 + the self-
     # calibrating round exits keep the FD check at ~1e-6 for half the cost
+    fo = ({"rtol": 1e-11, "approx_rtol": APPROX_RTOL,
+           "approx_maxiter": APPROX_MAXITER} if FACTOR == "mg"
+          else {"tol": 1e-11})
     return make_model(nx=NX, ny=NY, Lx=2.0, Ly=1.0, N=N_MODES, rfact=2.0,
                       m=M_LANCZOS, factor_kind=FACTOR, lanczos_tol=1e-11,
-                      lanczos_block=BLOCK, lanczos_ortho="local",
-                      lanczos_check_every=2, rtol=1e-7,
-                      factor_options=({"rtol": 1e-11} if FACTOR == "mg"
-                                      else {"tol": 1e-11}),
+                      lanczos_block=BLOCK, lanczos_ortho=ORTHO,
+                      lanczos_check_every=2, rtol=1e-7, sigma=SIGMA,
+                      factor_options=fo,
                       adjoint_options={"maxiter": 60, "nrestart": 5,
                                        "mixed": True})
 
@@ -72,7 +78,14 @@ def tpu_run():
 
     def objective(x):
         lam, Q, rho, rhoE = topo._solve_fn(x)
-        return jnp.sum(jnp.sqrt(lam)) + jnp.sum(Q[:8, :] ** 2)
+        # eta-weighted eigenvector aggregate (the reference's aggregate
+        # design, buckling.py:702-760): smooth in lam, so the objective is
+        # continuous through mode crossings at the solved-set boundary and
+        # invariant under degenerate-pair rotations — a bare sum(Q[:8]**2)
+        # jumps O(1) when modes 6/7 swap under an FD perturbation
+        # (observed at 1M DOF), which no gradient can match.
+        eta = jnp.exp(-2.0 * (lam - lam[0]))
+        return jnp.sum(jnp.sqrt(lam)) + jnp.sum(eta[None, :] * Q[:8, :] ** 2)
 
     @jax.jit
     def run(x):
@@ -100,7 +113,9 @@ def tpu_run():
         # swamp the difference quotient.
         pert = jnp.asarray(np.random.default_rng(7).uniform(size=x0.shape))
         ans = float(pert @ g)
-        for h in (1e-2, 1e-3):
+        hs = tuple(float(h) for h in os.environ.get(
+            "EIGD_BENCH_FD_H", "1e-2,1e-3").split(","))
+        for h in hs:
             vp, _ = run(x0 + h * pert)
             vm, _ = run(x0 - h * pert)
             fd = (float(vp) - float(vm)) / (2 * h)
@@ -177,6 +192,28 @@ def cpu_baseline():
     return time.perf_counter() - t0, lam
 
 
+def run_1m_extra():
+    """Flagship 1M-DOF configuration (1024x512, multigrid factor), measured
+    in a fresh subprocess so the default-size bench keeps its own HBM and
+    compile-cache state. Returns a dict for the JSON 'extra' field."""
+    import subprocess
+
+    env = dict(os.environ, EIGD_BENCH_NX="1024", EIGD_BENCH_NY="512",
+               EIGD_BENCH_SKIP_1M="1")
+    out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                         env=env, capture_output=True, text=True,
+                         timeout=3600)
+    line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
+    try:
+        data = json.loads(line)
+        return {"dof": 1051650, "wall_s": data["value"],
+                "vs_baseline": data["vs_baseline"]}
+    except Exception:
+        log(f"1M extra failed: rc={out.returncode} "
+            f"stderr tail: {out.stderr[-500:]}")
+        return {"error": out.returncode}
+
+
 def main():
     tpu_time, val, grad = tpu_run()
     assert np.all(np.isfinite(grad)), "non-finite gradient"
@@ -193,7 +230,7 @@ def main():
         log(f"CPU baseline failed: {e}")
         base_time = float("nan")
     n_dof = 2 * (NX + 1) * (NY + 1)
-    print(json.dumps({
+    result = {
         "metric": f"wall time: {N_MODES} eigenpairs + adjoint gradient, "
                   f"{NX}x{NY} plane-stress topology ({n_dof} DOF), "
                   "monolithic jit",
@@ -201,7 +238,13 @@ def main():
         "unit": "s",
         "vs_baseline": round(base_time / tpu_time, 3)
         if np.isfinite(base_time) else None,
-    }))
+    }
+    # Record the flagship 1M-DOF number alongside the default-size headline
+    # (BASELINE.md north star). Runs only from the default configuration;
+    # EIGD_BENCH_SKIP_1M=1 disables (e.g. for quick local runs).
+    if (NX, NY) == (512, 256) and not os.environ.get("EIGD_BENCH_SKIP_1M"):
+        result["extra_1m"] = run_1m_extra()
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -196,6 +196,7 @@ class TestBucklingScalable:
         rel = abs(float(pert @ t.xb) - fd) / abs(fd)
         assert rel < 5e-6, rel
 
+    @pytest.mark.slow
     def test_fd_at_128x64(self):
         """Scalable-path FD parity at a grid the dense path cannot touch
         (VERDICT item 6: >= 128x64)."""

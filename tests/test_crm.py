@@ -113,7 +113,7 @@ class TestWingboxScalable:
                        float(m1.get_modal_compliance()))
 
     def test_compliance_fd_moderate(self):
-        m = CRM(nspan=24, nchord=6, nheight=2, N=6, m=60)
+        m = CRM(nspan=16, nchord=4, nheight=2, N=6, m=50)
         m.initialize()
         m.initialize_adjoint()
         m.add_modal_compliance_derivative(1.0)

@@ -210,6 +210,7 @@ def _serial_objective(nx, ny, N, m, sigma, qweight, fltr, grid):
 
 
 class TestGradientParity:
+    @pytest.mark.slow
     def test_serial_vs_sharded_gradient(self, mesh):
         """The full objective gradient (filter -> assembly -> eigensolve ->
         adjoint -> aggregate) agrees between the serial path (ElementOperator
@@ -248,6 +249,7 @@ class TestGradientParity:
         ans = float(pert @ g_sh)
         assert abs(ans - fd) / abs(fd) < 1e-7, (ans, fd)
 
+    @pytest.mark.slow
     def test_sharded_mg_factor_gradient(self, mesh):
         """The line-sharded multigrid factor (VERDICT r1 §3): objective +
         gradient with factor='mg' and the V-cycle-preconditioned pcpg
@@ -279,6 +281,7 @@ class TestGradientParity:
         ans = float(pert @ g_sh)
         assert abs(ans - fd) / abs(fd) < 1e-6, (ans, fd)
 
+    @pytest.mark.slow
     def test_sharded_thermal_gradient(self, mesh):
         """Sharded scalar-field (ndof=1) thermal objective (VERDICT r1 §4):
         serial-vs-sharded value/gradient parity + FD consistency."""
@@ -342,6 +345,7 @@ class TestGradientParity:
         ans = float(pert @ g_sh)
         assert abs(ans - fd) / abs(fd) < 1e-6, (ans, fd)
 
+    @pytest.mark.slow
     def test_sharded_buckling_gradient(self, mesh):
         """Sharded masked-Dirichlet buckling pencil (VERDICT r1 §4): static
         preload + stress stiffness + buckling-mode eigensolve/adjoint agree
@@ -470,6 +474,7 @@ class TestGradientParity:
 
 
 class TestGraftEntry:
+    @pytest.mark.slow
     def test_dryrun_multichip(self):
         import __graft_entry__ as ge
 
