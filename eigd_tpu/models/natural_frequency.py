@@ -376,6 +376,19 @@ class TopologyAnalysis:
         self.profile["eigensolve iterations"] = int(res.niter)
         self.profile["eigensolve residuals"] = np.asarray(
             res.eig_res).tolist()
+        # Factor-apply convergence diagnostics (the reference's
+        # SpLuOperator.count role, eigenvector_derivatives.py:16-22): for
+        # iterative factors (mg PCG / Schwarz-PCG) record the inner
+        # iteration count and final residual of one probe apply so a
+        # silently truncated solve is visible in the profile.
+        if hasattr(factor, "mv_info"):
+            probe = B.mv(res.Phi[:, :1])
+            _, finfo = factor.mv_info(probe)
+            self.profile["factor apply iterations"] = int(finfo["niter"])
+            self.profile["factor apply final res2"] = float(
+                np.max(np.asarray(finfo["res2"])))
+            self.profile["factor apply tol2"] = float(
+                np.max(np.asarray(finfo["tol2"])))
         return r
 
     def _init_profile(self):

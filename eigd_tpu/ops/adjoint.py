@@ -773,6 +773,11 @@ def pgmres(Phib, A, B, lam, Phi, mode="normal", psi=None, sigma=None,
     Hessenberg least-squares residual is evaluated and a converged system's
     recurrence freezes (reference's per-iteration exit, :1019-1033); info
     carries the per-check residual history.
+
+    Memory note: the vmapped per-mode Arnoldi bases are O(N * K * n) —
+    fine as a cross-validation method at moderate n, but at large n use
+    ``sibk`` (one shared ladder, O((K + N) * n)); same guidance applies to
+    pcpg's per-iteration O(N * n) work with an exact factor.
     """
     del callback
     A = as_operator(A)

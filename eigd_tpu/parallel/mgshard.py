@@ -41,10 +41,6 @@ from ..ops.multigrid import (GridMGFactor, cheb_smooth, estimate_lmax,
 from ..ops.stencil import stencil_matvec
 
 
-def _axis_size(axis):
-    return jax.lax.psum(1, axis)
-
-
 def _halo_lines(xg, axis, ndev):
     """xg: (L, ny1, ndof, k) local lines. Returns (left, right) halo lines
     received from the neighbours (zeros at the global boundary)."""
