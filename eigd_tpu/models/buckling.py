@@ -59,7 +59,7 @@ class BucklingTopologyAnalysis:
                  solver_type="lanczos", tol=0.0, rtol=1e-10, eig_atol=1e-5,
                  adjoint_method="sibk", adjoint_options=None,
                  deriv_type="tensor", factor_kind="cholesky",
-                 grid_shape=None, lanczos_tol=None):
+                 grid_shape=None, lanczos_tol=None, lanczos_polish=0):
         del solver_type, deriv_type
         self.fltr = fltr
         self.conn = jnp.asarray(np.asarray(conn))
@@ -81,6 +81,7 @@ class BucklingTopologyAnalysis:
         self.m = m
         self._rtol = rtol
         self._lanczos_tol = lanczos_tol
+        self._lanczos_polish = lanczos_polish
         self._adjoint_method = adjoint_method
 
         self.E, self.nu = E, nu
@@ -123,7 +124,7 @@ class BucklingTopologyAnalysis:
             eig_atol=self.eig_atol,
             factor_kind=(self.factor_kind if not self.scalable
                          else "cholesky"),
-            lanczos_tol=self._lanczos_tol)
+            lanczos_tol=self._lanczos_tol, polish=self._lanczos_polish)
         if self.scalable:
             self.problem = EigProblem(assemble=self._assemble_pencil,
                                       factor=self._pencil_factor,

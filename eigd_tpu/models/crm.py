@@ -125,7 +125,8 @@ class CRM:
     def __init__(self, nspan=48, nchord=8, nheight=3, N=6, m=None, sigma=0.0,
                  E=70e9, nu=0.3, rho=2700.0, t0=0.01, omega0=None,
                  adjoint_method="sibk", rtol=1e-10, eig_atol=1e-5,
-                 factor_kind="bcr_f32", nribs=None, **mesh_kw):
+                 factor_kind="bcr_f32", nribs=None, lanczos_polish=0,
+                 **mesh_kw):
         if nribs is None:
             nribs = max(3, nspan // 8)
         X, conn, comp, names = make_wingbox_mesh(nspan, nchord, nheight,
@@ -142,6 +143,7 @@ class CRM:
             m = max(3 * N + 1, 60)
         self.m = m
         self.factor_kind = factor_kind
+        self._lanczos_polish = lanczos_polish
         self.scalable = factor_kind.startswith(("bcr", "blocktridiag"))
 
         # --- station-padded DOF layout -----------------------------------
@@ -262,7 +264,7 @@ class CRM:
             N=self.N, m=self.m, sigma=float(self._sigma), mode="normal",
             adjoint_method=self.adjoint_method, adjoint_maxiter=60,
             adjoint_rtol=self.rtol * 1e-2, nrestart=2,
-            eig_atol=self.eig_atol)
+            eig_atol=self.eig_atol, polish=self._lanczos_polish)
 
     def _solve_fn(self, tcomp):
         lam, Qr = eigh_gen(tcomp, self.problem, self.cfg)

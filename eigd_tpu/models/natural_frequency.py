@@ -40,7 +40,7 @@ class TopologyAnalysis:
                  deriv_type="tensor", factor_kind="dense", grid_shape=None,
                  lanczos_tol=None, lanczos_block=1, lanczos_ortho="full",
                  lanczos_check_every=1, uniform_grid=False,
-                 factor_options=None):
+                 factor_options=None, lanczos_polish=0):
         del solver_type, deriv_type  # single TPU-native solver; always batched
         self.fltr = fltr
         self.conn = jnp.asarray(np.asarray(conn))
@@ -109,7 +109,8 @@ class TopologyAnalysis:
             lanczos_tol=lanczos_tol, block=lanczos_block,
             lanczos_ortho=lanczos_ortho,
             lanczos_check_every=lanczos_check_every,
-            adjoint_mixed=adjoint_options.get("mixed", False))
+            adjoint_mixed=adjoint_options.get("mixed", False),
+            polish=lanczos_polish)
         # Scalable path: never densify — block-tridiagonal Cholesky of the
         # shifted element matrices using the grid line structure, with
         # matrix-free element-operator matvecs everywhere else.

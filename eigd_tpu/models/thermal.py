@@ -35,7 +35,7 @@ class ThermalTopologyAnalysis:
                  adjoint_method="sibk", adjoint_options=None,
                  deriv_type="tensor", factor_kind="dense", grid_shape=None,
                  lanczos_tol=None, lanczos_block=1, lanczos_ortho="full",
-                 factor_options=None):
+                 factor_options=None, lanczos_polish=0):
         del solver_type, deriv_type
         self.fltr = fltr
         self.conn = jnp.asarray(np.asarray(conn))
@@ -73,7 +73,8 @@ class ThermalTopologyAnalysis:
             nrestart=adjoint_options.get("nrestart", 2), eig_atol=eig_atol,
             lanczos_tol=lanczos_tol, block=lanczos_block,
             lanczos_ortho=lanczos_ortho,
-            adjoint_mixed=adjoint_options.get("mixed", False))
+            adjoint_mixed=adjoint_options.get("mixed", False),
+            polish=lanczos_polish)
 
         # Scalable path for structured grids: stencil matvecs (ndof=1) and a
         # block-cyclic-reduction Cholesky factor, exactly as in the

@@ -59,6 +59,11 @@ class EighGenConfig:
     lanczos_ortho: str = "full"  # "local": 3-term recurrence + Gram-RR
     lanczos_check_every: int = 1  # adaptive-exit check cadence (each check
     # is an (m, m) reduced eigh — ~50 ms of emulated f64 on TPU at m=176)
+    polish: int = 0  # shift-invert subspace-iteration steps applied to the
+    # selected Ritz block at extraction (one accurate factor apply each);
+    # damps the TPU basis-noise floor in eigenVECTOR contractions — see
+    # lanczos.polish_ritz_block. 1 is enough at 1M DOF; 0 skips (exact f64
+    # backends don't need it).
 
 
 # ---------------------------------------------------------------------------
@@ -231,12 +236,14 @@ def _forward_ops(theta, problem, A, B, cfg):
                                   deflate=deflate, axis=cfg.axis,
                                   tol=cfg.lanczos_tol, v0=v0,
                                   ortho=cfg.lanczos_ortho,
-                                  check_every=cfg.lanczos_check_every)
+                                  check_every=cfg.lanczos_check_every,
+                                  polish=cfg.polish)
     else:
         res = lanczos_solve(A, B, factor, cfg.sigma, cfg.N, cfg.m,
                             mode=cfg.mode, seed=cfg.seed, deflate=deflate,
                             axis=cfg.axis, tol=cfg.lanczos_tol, v0=v0,
-                            check_every=max(cfg.lanczos_check_every, 8))
+                            check_every=max(cfg.lanczos_check_every, 8),
+                            polish=cfg.polish)
     return res.lam, res.Phi, (res, factor)
 
 

@@ -352,7 +352,7 @@ def b_orthonormalize_rows(U0, B_mv, axis=None):
 
 def lanczos_solve(A, B, factor, sigma, N, m, mode="normal", seed=12345,
                   v0=None, deflate=None, axis=None, tol=None,
-                  check_every=8) -> LanczosResult:
+                  check_every=8, polish=0) -> LanczosResult:
     """Full shift-invert Lanczos solve returning the N smallest eigenpairs.
 
     jit-compatible (static N, m, mode). Functional counterpart of the
@@ -409,6 +409,10 @@ def lanczos_solve(A, B, factor, sigma, N, m, mode="normal", seed=12345,
     last = jnp.clip(niter - 1, 0, m - 1)
     eig_res = jnp.abs(beta[last] * Y0[last, :])
     Phi = V[:m].T @ Y0
+    if polish:
+        lam, Phi = polish_ritz_block(A, B, factor, lam, Phi, sigma, mode,
+                                     deflate=deflate, axis=axis,
+                                     nsteps=polish)
 
     return LanczosResult(
         lam=lam,
@@ -457,10 +461,69 @@ def b_qr_tall(X, B_mv, axis=None):
     return Q, BQ, R2 @ R1
 
 
+def polish_ritz_block(A, B, factor, lam, Phi, sigma, mode, deflate=None,
+                      axis=None, nsteps=1):
+    """Shift-invert subspace-iteration polish of the selected Ritz block,
+    with a pencil Rayleigh-Ritz re-extraction.
+
+    Why (TPU): the Krylov basis carries ~1e-7-level noise from the f32
+    re-orthogonalization sweeps and the dd-GEMM measurement floor, spread
+    over HIGH-frequency pencil directions. The eigenVALUES are immune (the
+    measured Rayleigh-Ritz is variational) but anything that contracts the
+    eigenVECTORS against stiffness-scale operators — the lam-VJP
+    ``phi^T dA phi``, pencil residuals, pointwise aggregates — sees that
+    noise amplified by up to lam_max/lam (~2.5e5 at 1M DOF). Measured (r2):
+    the pure-eigenvalue gradient FD rel-err was 0.55 at 1M DOF while the
+    same program read 7.7e-4 at 263k. One extra accurate factor apply damps
+    noise component j by (lam_sel - sigma)/(lam_j - sigma) — ~4 orders of
+    magnitude for the high-frequency bulk — restoring first-order-accurate
+    eigenvector contractions at the cost of one blocked apply per step.
+
+    Reference role: ARPACK's implicitly-restarted iteration re-filters its
+    basis every restart cycle (reference arpack.py:438-442), so its Ritz
+    vectors never accumulate a noise floor; this is the TPU-native
+    equivalent correction, applied once at extraction instead of per cycle.
+
+    Returns (lam, Phi) with Phi B-orthonormal and lam the pencil Rayleigh
+    quotients of the polished block, ordered by the mode's sort rule.
+    """
+    A = as_operator(A)
+    B = as_operator(B)
+    if deflate is not None:
+        U, BU = deflate
+
+        def defl(Wb):
+            return Wb - dd_dot_rowsT(U, dd_dot(BU, Wb, axis))
+    else:
+        def defl(Wb):
+            return Wb
+
+    from .jacobi import eigh_accurate
+
+    for _ in range(nsteps):
+        Z = factor.mv(B.mv(Phi))  # (n, N); same filter in every mode
+        Z, BZ, _ = b_qr_tall(defl(Z), B.mv, axis=axis)
+        Hp = dd_dot(Z.T, A.mv(Z), axis)  # (N, N); Z^T B Z = I
+        Hp = 0.5 * (Hp + Hp.T)
+        mu, Wp = eigh_accurate(Hp)  # pencil Rayleigh quotients A phi = mu B phi
+        if mode == "buckling":
+            # (A, B) = (G, K); BLF lam = -1/mu, sorted by mu — the same
+            # order argsort(-1/lam) the reference uses (:1437).
+            safe = jnp.where(mu == 0.0, 1.0, mu)
+            lamp = jnp.where(mu == 0.0, jnp.inf, -1.0 / safe)
+            order = jnp.argsort(mu)
+        else:
+            lamp = mu  # pencil eigenvalue IS lam in normal/cayley modes
+            order = jnp.argsort(mu)
+        lam = lamp[order]
+        Phi = Z @ Wp[:, order]
+    return lam, Phi
+
+
 def block_lanczos_solve(A, B, factor, sigma, N, m, p, mode="normal",
                         seed=12345, v0=None, deflate=None, axis=None,
                         tol=None, check_every=1,
-                        ortho="full") -> LanczosResult:
+                        ortho="full", polish=0) -> LanczosResult:
     """Block shift-invert Lanczos: p Krylov vectors advance per factor apply.
 
     TPU rationale: the factor apply is latency/bandwidth-bound, so a blocked
@@ -754,6 +817,11 @@ def block_lanczos_solve(A, B, factor, sigma, N, m, p, mode="normal",
     Rblk = jax.lax.dynamic_slice(Hc, (lo_end + p, lo_end), (p, p))
     Ylast = jax.lax.dynamic_slice_in_dim(Y0, lo_end, p, axis=0)
     eig_res = jnp.sqrt(jnp.sum((Rblk @ Ylast) ** 2, axis=0))
+
+    if polish:
+        lam, Phi = polish_ritz_block(A, B, factor, lam, Phi, sigma, mode,
+                                     deflate=deflate, axis=axis,
+                                     nsteps=polish)
 
     zeros_m = jnp.zeros(mtot, dtype=dtype)
     return LanczosResult(

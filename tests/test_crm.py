@@ -112,7 +112,11 @@ class TestWingboxScalable:
                    - float(m2.get_modal_compliance())) < 1e-8 * abs(
                        float(m1.get_modal_compliance()))
 
+    @pytest.mark.slow
     def test_compliance_fd_moderate(self):
+        # slow-marked: ~65 s on the 1-core CI host; the fast suite keeps FD
+        # coverage of this path via TestWingbox::test_modal_compliance_derivative_fd
+        # and exactness via test_scalable_matches_dense.
         m = CRM(nspan=16, nchord=4, nheight=2, N=6, m=50)
         m.initialize()
         m.initialize_adjoint()
