@@ -753,18 +753,18 @@ def block_lanczos_solve(A, B, factor, sigma, N, m, p, mode="normal",
         # Gram goes singular once converged directions re-enter the
         # recurrence (Paige loss-of-orthogonality ghosts), so the extraction
         # is RANK-REVEALING: eigen-decompose G and truncate directions with
-        # Gram eigenvalue below 1e-2 of the largest — redundant copies carry
+        # Gram eigenvalue below 1e-6 of the largest — redundant copies carry
         # no new information and are dropped instead of amplified.
         #
-        # Cutoff choice (measured, r2): the whitening W = UG s^{-1/2}
-        # amplifies the H/G MEASUREMENT error by 1/s_min(kept). On TPU the
-        # dd-GEMM measurements carry ~1e-8 relative error, so a 1e-6 cutoff
-        # let extraction noise reach ~1e-2 in the Ritz vectors (true pencil
-        # residuals 1e-2 at 263k-1M DOF while the coupling estimate read
-        # 1e-11). The Gram spectrum is bimodal — healthy directions ~1
-        # (f32-sweep drift ~5e-5), re-entrant duplicates <= 1e-10 — so a
-        # 1e-2 cutoff drops exactly the same directions while capping the
-        # amplification at 1e2 (Ritz-vector noise ~1e-6).
+        # Cutoff choice (measured, r2): at 263k DOF the Gram spectrum is
+        # bimodal (healthy ~1, re-entrant duplicates <= 1e-10) and a 1e-2
+        # cutoff gives identical eigenpairs — but at 1M DOF directions with
+        # Gram eigenvalue in [1e-6, 1e-2] carry REAL spectral content
+        # (raising the cutoff there lost the fundamental mode and admitted a
+        # ghost at the set boundary). Keep 1e-6; the whitening noise
+        # amplification this allows (1/s_min ~ 1e3 on the dd-GEMM
+        # measurement floor) is handled downstream by the Ritz-block polish
+        # (polish_ritz_block), not by truncating convergent directions.
         # Symmetric completion of the incrementally measured Gram (same
         # filled/mirror pattern as H; every entry a direct f64 measurement)
         Gr = Graw[:mtot]
@@ -773,7 +773,7 @@ def block_lanczos_solve(A, B, factor, sigma, N, m, p, mode="normal",
         dg = jnp.diagonal(G)
         G = G + jnp.diag(jnp.where(dg == 0.0, 1.0, 0.0))  # inactive rows
         sG, UG = jnp.linalg.eigh(G)
-        keep = sG > 1e-2 * jnp.max(sG)
+        keep = sG > 1e-6 * jnp.max(sG)
         inv_sqrt = jnp.where(keep, 1.0 / jnp.sqrt(jnp.maximum(sG, 1e-300)),
                              0.0)
         Wt = UG * inv_sqrt[None, :]  # (mtot, mtot); dropped columns zero

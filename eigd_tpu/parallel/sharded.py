@@ -338,7 +338,7 @@ def make_sharded_objective(n_devices, nx, ny, Lx=2.0, Ly=1.0, N=2, m=24,
                            cg_maxiter=60, axis="grid", mesh=None,
                            qweight=1e-3, factor="schwarz",
                            adjoint_method="sibk", shard_levels=2,
-                           lanczos_block=1):
+                           lanczos_block=1, polish=0):
     """Build (objective(x), fltr, mesh) for the free-free plane-stress
     natural-frequency problem with the solve sharded over node lines.
 
@@ -444,7 +444,7 @@ def make_sharded_objective(n_devices, nx, ny, Lx=2.0, Ly=1.0, N=2, m=24,
                          nullspace=nullspace_fn)
     cfg = EighGenConfig(N=N, m=m, sigma=sigma, adjoint_method=adjoint_method,
                         adjoint_maxiter=adjoint_maxiter, nrestart=nrestart,
-                        axis=axis, block=lanczos_block,
+                        axis=axis, block=lanczos_block, polish=polish,
                         adjoint_mixed=(adjoint_method == "pcpg"
                                        and factor == "mg"))
 
@@ -501,7 +501,7 @@ def make_sharded_thermal_objective(n_devices, nx, ny, Lx=1.0, Ly=1.0, N=4,
                                    nrestart=2, cg_maxiter=300, axis="grid",
                                    mesh=None, qweight=1e-3,
                                    factor="schwarz", shard_levels=2,
-                                   kappa=1.0, beta=1e-6, p=3.0):
+                                   kappa=1.0, beta=1e-6, p=3.0, polish=0):
     """Sharded scalar heat-conduction eigenproblem objective.
 
     Same line partition and halo machinery as the plane-stress path with
@@ -575,7 +575,7 @@ def make_sharded_thermal_objective(n_devices, nx, ny, Lx=1.0, Ly=1.0, N=4,
     problem = EigProblem(assemble=assemble, factor=factor_fn, v0=v0_fn)
     cfg = EighGenConfig(N=N, m=m, sigma=sigma, adjoint_method="sibk",
                         adjoint_maxiter=adjoint_maxiter, nrestart=nrestart,
-                        axis=axis)
+                        axis=axis, polish=polish)
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(axis), P(axis), P(axis), P(axis)),
@@ -652,7 +652,7 @@ def make_sharded_buckling_objective(n_devices, nx, ny, Lx=2.0, Ly=1.0, N=3,
                                     m=40, sigma=3.0, adjoint_maxiter=24,
                                     nrestart=2, cg_maxiter=400, axis="grid",
                                     mesh=None, qweight=1e-3, ks_rho=160.0,
-                                    load_frac=0.2, p=3.0, q=5.0):
+                                    load_frac=0.2, p=3.0, q=5.0, polish=0):
     """Sharded linearized-buckling objective: Dirichlet DOFs masked (zeroed
     rows/cols + unit diagonal), static preload solve K u = f through the
     sharded Schwarz-PCG factor under the custom-VJP ``solve_spd`` (the path
@@ -791,7 +791,7 @@ def make_sharded_buckling_objective(n_devices, nx, ny, Lx=2.0, Ly=1.0, N=3,
         cfg = EighGenConfig(N=N, m=m, sigma=sigma, mode="buckling",
                             adjoint_method="sibk",
                             adjoint_maxiter=adjoint_maxiter,
-                            nrestart=nrestart, axis=axis)
+                            nrestart=nrestart, axis=axis, polish=polish)
         lam, Q = eigh_gen((theta, u), problem, cfg)
         import os as _os
         if _os.environ.get("EIGD_DEBUG_BUCKLING"):

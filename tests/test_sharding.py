@@ -281,6 +281,25 @@ class TestGradientParity:
         ans = float(pert @ g_sh)
         assert abs(ans - fd) / abs(fd) < 1e-6, (ans, fd)
 
+    def test_sharded_polish_gradient(self, mesh):
+        """Ritz-block polish under shard_map (psum'd dd-GEMMs + sharded
+        factor apply): gradient still matches FD."""
+        nx, ny, N = 16, 8, 2
+        obj_sh, fltr, mesh2, part = make_sharded_objective(
+            NDEV, nx, ny, N=N, m=40, mesh=mesh, polish=1)
+        x0 = 0.8 * jnp.ones(fltr.num_design_vars) + 0.1 * jnp.sin(
+            jnp.arange(fltr.num_design_vars, dtype=jnp.float64))
+        with mesh:
+            v_sh, g_sh = jax.value_and_grad(obj_sh)(x0)
+        pert = jnp.asarray(np.random.default_rng(7).uniform(size=x0.shape))
+        h = 1e-6
+        with mesh:
+            vp = obj_sh(x0 + h * pert)
+            vm = obj_sh(x0 - h * pert)
+        fd = (float(vp) - float(vm)) / (2 * h)
+        ans = float(pert @ g_sh)
+        assert abs(ans - fd) / abs(fd) < 1e-6, (ans, fd)
+
     @pytest.mark.slow
     def test_sharded_thermal_gradient(self, mesh):
         """Sharded scalar-field (ndof=1) thermal objective (VERDICT r1 §4):
