@@ -111,23 +111,26 @@ def tpu_run():
         times.append(time.perf_counter() - t0)
     log(f"steady-state runs: {[round(t, 3) for t in times]}")
 
-    if os.environ.get("EIGD_BENCH_FD"):
-        # Central-difference check of the full gradient at bench scale.
-        # Reuses the compiled value_and_grad program (a second objective-only
-        # executable would double the HBM footprint), and uses a step large
-        # enough that the solver's ~1e-6 objective-accuracy floor doesn't
-        # swamp the difference quotient.
+    fd_rel = None
+    if not os.environ.get("EIGD_BENCH_NO_FD"):
+        # Central-difference check of the full gradient at bench scale,
+        # recorded in the output JSON. Reuses the compiled value_and_grad
+        # program (a second objective-only executable would double the HBM
+        # footprint), and uses a step large enough that the solver's ~1e-6
+        # objective-accuracy floor doesn't swamp the difference quotient.
         pert = jnp.asarray(np.random.default_rng(7).uniform(size=x0.shape))
         ans = float(pert @ g)
         hs = tuple(float(h) for h in os.environ.get(
-            "EIGD_BENCH_FD_H", "1e-2,1e-3").split(","))
+            "EIGD_BENCH_FD_H", "1e-2").split(","))
         for h in hs:
             vp, _ = run(x0 + h * pert)
             vm, _ = run(x0 - h * pert)
             fd = (float(vp) - float(vm)) / (2 * h)
+            rel = abs(ans - fd) / abs(fd)
             log(f"FD h={h:.0e}: adjoint={ans:.10e} fd={fd:.10e} "
-                f"rel={abs(ans - fd) / abs(fd):.3e}")
-    return min(times), float(v), np.asarray(g)
+                f"rel={rel:.3e}")
+            fd_rel = rel if fd_rel is None else min(fd_rel, rel)
+    return min(times), float(v), np.asarray(g), fd_rel
 
 
 def efficiency_estimate(wall):
@@ -213,7 +216,8 @@ def run_1m_extra():
     try:
         data = json.loads(line)
         return {"dof": 1051650, "wall_s": data["value"],
-                "vs_baseline": data["vs_baseline"]}
+                "vs_baseline": data["vs_baseline"],
+                "fd_rel": data.get("fd_rel")}
     except Exception:
         log(f"1M extra failed: rc={out.returncode} "
             f"stderr tail: {out.stderr[-500:]}")
@@ -221,7 +225,7 @@ def run_1m_extra():
 
 
 def main():
-    tpu_time, val, grad = tpu_run()
+    tpu_time, val, grad, fd_rel = tpu_run()
     assert np.all(np.isfinite(grad)), "non-finite gradient"
     mfu, bw = efficiency_estimate(tpu_time)
     log(f"efficiency estimate: MFU {mfu * 100:.2f}%, effective HBM BW "
@@ -244,6 +248,7 @@ def main():
         "unit": "s",
         "vs_baseline": round(base_time / tpu_time, 3)
         if np.isfinite(base_time) else None,
+        "fd_rel": fd_rel,
     }
     # Record the flagship 1M-DOF number alongside the default-size headline
     # (BASELINE.md north star). Runs only from the default configuration;
