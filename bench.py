@@ -44,6 +44,7 @@ SIGMA = float(os.environ.get("EIGD_BENCH_SIGMA", -10.0))
 ORTHO = os.environ.get("EIGD_BENCH_ORTHO", "local")
 APPROX_RTOL = float(os.environ.get("EIGD_BENCH_APPROX_RTOL", 1e-5))
 APPROX_MAXITER = int(os.environ.get("EIGD_BENCH_APPROX_MAXITER", 18))
+POLISH = int(os.environ.get("EIGD_BENCH_POLISH", 1))
 
 
 def log(*a):
@@ -73,7 +74,7 @@ def make_topo():
                       m=M_LANCZOS, factor_kind=FACTOR, lanczos_tol=1e-11,
                       lanczos_block=BLOCK, lanczos_ortho=ORTHO,
                       lanczos_check_every=2, rtol=1e-7, sigma=SIGMA,
-                      factor_options=fo, lanczos_polish=1,
+                      factor_options=fo, lanczos_polish=POLISH,
                       adjoint_options={"maxiter": 60, "nrestart": 5,
                                        "mixed": True})
 

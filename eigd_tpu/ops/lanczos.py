@@ -756,14 +756,12 @@ def block_lanczos_solve(A, B, factor, sigma, N, m, p, mode="normal",
         # Gram eigenvalue below 1e-6 of the largest — redundant copies carry
         # no new information and are dropped instead of amplified.
         #
-        # Cutoff choice (measured, r2): at 263k DOF the Gram spectrum is
-        # bimodal (healthy ~1, re-entrant duplicates <= 1e-10) and a 1e-2
-        # cutoff gives identical eigenpairs — but at 1M DOF directions with
-        # Gram eigenvalue in [1e-6, 1e-2] carry REAL spectral content
-        # (raising the cutoff there lost the fundamental mode and admitted a
-        # ghost at the set boundary). Keep 1e-6; the whitening noise
-        # amplification this allows (1/s_min ~ 1e3 on the dd-GEMM
-        # measurement floor) is handled downstream by the Ritz-block polish
+        # Cutoff choice (measured, r2): the Gram spectrum is bimodal at both
+        # 263k and 1M DOF (healthy ~1, re-entrant duplicates <= 1e-10) —
+        # outputs are bit-identical for cutoffs 1e-6 and 1e-2. Keep the
+        # conservative 1e-6 so marginally-converged real directions are
+        # never truncated; the whitening noise amplification this could in
+        # principle allow is handled downstream by the Ritz-block polish
         # (polish_ritz_block), not by truncating convergent directions.
         # Symmetric completion of the incrementally measured Gram (same
         # filled/mirror pattern as H; every entry a direct f64 measurement)
