@@ -83,8 +83,7 @@ def tpu_run():
     topo = make_topo()
     x0 = jnp.asarray(topo.x)
 
-    def objective(x):
-        lam, Q, rho, rhoE = topo._solve_fn(x)
+    def tail(lam, Q):
         # eta-weighted eigenvector aggregate (the reference's aggregate
         # design, buckling.py:702-760): smooth in lam, so the objective is
         # continuous through mode crossings at the solved-set boundary and
@@ -94,9 +93,31 @@ def tpu_run():
         eta = jnp.exp(-2.0 * (lam - lam[0]))
         return jnp.sum(jnp.sqrt(lam)) + jnp.sum(eta[None, :] * Q[:8, :] ** 2)
 
-    @jax.jit
-    def run(x):
-        return jax.value_and_grad(objective)(x)
+    n_dof = 2 * (NX + 1) * (NY + 1)
+    staged = os.environ.get("EIGD_BENCH_STAGED")
+    staged = (n_dof >= 500_000) if staged is None else bool(int(staged))
+    if staged:
+        # Two-program execution (forward solve / reverse solve): at ~1M DOF
+        # the single fused forward+reverse executable has been observed to
+        # return a corrupted forward on this stack (wrong eigenvalues while
+        # the same program at 263k and the forward alone at 1M are exact) —
+        # see ops/autodiff.py:staged_value_and_grad. Identical math, one
+        # extra ~60 ms dispatch.
+        from eigd_tpu.fem import assembly as fem
+        from eigd_tpu.ops.autodiff import staged_value_and_grad
+
+        def pre(x):
+            rho = topo.fltr.apply(x)
+            return fem.element_density(rho, topo.conn)
+
+        run = staged_value_and_grad(pre, tail, topo.problem, topo.cfg)
+    else:
+        def objective(x):
+            lam, Q, rho, rhoE = topo._solve_fn(x)
+            return tail(lam, Q)
+
+        run = jax.jit(jax.value_and_grad(objective))
+    tpu_run.staged = staged
 
     t0 = time.perf_counter()
     v, g = run(x0)
@@ -241,10 +262,12 @@ def main():
         log(f"CPU baseline failed: {e}")
         base_time = float("nan")
     n_dof = 2 * (NX + 1) * (NY + 1)
+    prog = ("staged fwd/bwd jits" if getattr(tpu_run, "staged", False)
+            else "monolithic jit")
     result = {
         "metric": f"wall time: {N_MODES} eigenpairs + adjoint gradient, "
                   f"{NX}x{NY} plane-stress topology ({n_dof} DOF), "
-                  "monolithic jit",
+                  f"{prog}",
         "value": round(tpu_time, 4),
         "unit": "s",
         "vs_baseline": round(base_time / tpu_time, 3)

@@ -287,6 +287,55 @@ def _eigh_gen_bwd(problem, cfg, saved, cotangents):
 eigh_gen.defvjp(_eigh_gen_fwd, _eigh_gen_bwd)
 
 
+def staged_value_and_grad(pre, tail, problem: EigProblem,
+                          cfg: EighGenConfig):
+    """value_and_grad of ``x -> tail(eigh_gen(pre(x)))`` as TWO compiled
+    programs (forward solve / reverse solve) instead of one fused jit.
+
+    Why this exists: at ~1M DOF the single fused forward+reverse program
+    approaches the HBM capacity of one chip and the XLA:TPU executable has
+    been observed to return a corrupted *forward* (eigenvalues of a wrong
+    nearby spectrum, e.g. [1.44, 4.10, ...] instead of [0.949, 2.180, ...])
+    while the identical forward compiled alone — and the identical fused
+    program at 263k DOF — is correct to 1e-11. Splitting at the custom-VJP
+    seam sidesteps the miscompile and lowers peak pressure: the reverse
+    program never holds the forward's temporaries. Cost: one extra host
+    dispatch (~60 ms through the tunnel) and one repeat of the cheap
+    ``pre`` chain inside the reverse program.
+
+    pre  : x -> theta (differentiable parameter chain: filter, densities)
+    tail : (lam, Phi) -> scalar (differentiable objective head)
+
+    Returns ``fn(x) -> (value, grad)`` backed by two cached jits.
+    Mathematically identical to ``jax.jit(jax.value_and_grad(...))`` — the
+    same ``_eigh_gen_fwd`` / ``_eigh_gen_bwd`` rules run, just in separate
+    executables (parity-tested against the fused path in
+    tests/test_lanczos.py::TestStagedValueAndGrad).
+    """
+
+    @jax.jit
+    def fwd_prog(x):
+        theta = pre(x)
+        (lam, Phi), saved = _eigh_gen_fwd(theta, problem, cfg)
+        return lam, Phi, saved
+
+    @jax.jit
+    def bwd_prog(x, lam, Phi, saved):
+        v, tail_vjp = jax.vjp(tail, lam, Phi)
+        lam_bar, Phi_bar = tail_vjp(jnp.ones_like(v))
+        (theta_bar,) = _eigh_gen_bwd(problem, cfg, saved,
+                                     (lam_bar, Phi_bar))
+        _, pre_vjp = jax.vjp(pre, x)
+        (x_bar,) = pre_vjp(theta_bar)
+        return v, x_bar
+
+    def fn(x):
+        lam, Phi, saved = fwd_prog(x)
+        return bwd_prog(x, lam, Phi, saved)
+
+    return fn
+
+
 # ---------------------------------------------------------------------------
 # Differentiable SPD linear solve with a custom factor (static-solve path)
 # ---------------------------------------------------------------------------

@@ -471,3 +471,40 @@ class TestRitzPolish:
                                    rtol=1e-10)
         np.testing.assert_allclose(np.asarray(r1.lam),
                                    np.linspace(1.0, 30.0, n)[:4], rtol=1e-9)
+
+
+class TestStagedValueAndGrad:
+    def test_matches_fused_path(self):
+        """staged_value_and_grad (two-program execution, the 1M-DOF
+        fused-program workaround) is bit-compatible with
+        jit(value_and_grad) of the same objective."""
+        import jax
+
+        from eigd_tpu.fem import assembly as fem
+        from eigd_tpu.models.natural_frequency import make_model
+        from eigd_tpu.ops.autodiff import staged_value_and_grad
+
+        topo = make_model(nx=16, ny=8, N=4, m=64, factor_kind="mg",
+                          lanczos_block=4, lanczos_ortho="local",
+                          lanczos_polish=1)
+        x0 = jnp.asarray(topo.x)
+
+        def pre(x):
+            rho = topo.fltr.apply(x)
+            return fem.element_density(rho, topo.conn)
+
+        def tail(lam, Phi):
+            eta = jnp.exp(-2.0 * (lam - lam[0]))
+            return (jnp.sum(jnp.sqrt(lam))
+                    + jnp.sum(eta[None, :] * Phi[:8, :] ** 2))
+
+        def objective(x):
+            lam, Q, rho, rhoE = topo._solve_fn(x)
+            return tail(lam, Q)
+
+        v_f, g_f = jax.jit(jax.value_and_grad(objective))(x0)
+        staged = staged_value_and_grad(pre, tail, topo.problem, topo.cfg)
+        v_s, g_s = staged(x0)
+        assert abs(float(v_s) - float(v_f)) < 1e-12 * abs(float(v_f))
+        np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_f),
+                                   rtol=1e-9, atol=1e-14)
