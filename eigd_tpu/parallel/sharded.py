@@ -819,3 +819,315 @@ def make_sharded_buckling_objective(n_devices, nx, ny, Lx=2.0, Ly=1.0, N=3,
         return solve_local(rhoE_cm, Be_cm, Te_cm, dJ_cm)
 
     return objective, fltr, mesh, part
+
+
+# ---------------------------------------------------------------------------
+# Sharded CRM wingbox objective (station-partitioned; VERDICT r1 §5)
+# ---------------------------------------------------------------------------
+
+
+def make_sharded_crm_objective(n_devices, nspan=8, nchord=4, nheight=2,
+                               N=4, m=40, adjoint_maxiter=24, nrestart=2,
+                               cg_maxiter=300, axis="grid", mesh=None,
+                               crm_kwargs=None):
+    """Station-sharded wingbox modal-compliance objective.
+
+    The CRM's padded DOF layout is already station-major (node DOF index =
+    station * b + 6 * rank, models/crm.py), and every shell element couples
+    only adjacent span stations — exactly the "node line" structure the
+    grid sharding layer partitions (grid.GridPartition with line_dofs = b).
+    Device d owns stations [d*L, (d+1)*L) and the elements whose lowest
+    station falls in that range; a matvec needs one halo station from the
+    right neighbour (two ppermutes per apply). The shift-invert factor is
+    the same one-level Schwarz-PCG used by the plane-stress objectives,
+    with the device-local station block-tridiagonal Cholesky as the
+    preconditioner. This is the TPU-native role of the MPI-parallel TACS
+    assembly + solve in the reference (crm.py:11,62-144).
+
+    Returns (objective(tcomp) -> modal compliance, crm, mesh, part); the
+    objective matches the serial ``CRM.get_modal_compliance`` with the tip
+    load, so serial-vs-sharded value and gradient parity is testable.
+    """
+    from ..fem.shell import shell_element_matrices
+    from ..models.crm import CRM
+    from ..ops.autodiff import EigProblem, EighGenConfig, eigh_gen
+
+    if mesh is None:
+        mesh = Mesh(np.array(jax.devices()[:n_devices]), (axis,))
+
+    crm = CRM(nspan=nspan, nchord=nchord, nheight=nheight, N=N, m=m,
+              **(crm_kwargs or {}))
+    nb, b = crm.nb, crm.b
+    part = make_partition(nx=nb - 1, ny=crm.b_nodes - 1, ndev=n_devices,
+                          ndof=6)
+    assert part.line_dofs == b, (part.line_dofs, b)
+    L = part.L
+
+    # -- host-side element buckets by owning station -------------------------
+    dofs_g = np.asarray(crm.dofs)  # (nelems, 24) global, station-padded
+    st_e = dofs_g.min(axis=1) // b
+    st_hi = dofs_g.max(axis=1) // b
+    assert np.all(st_hi <= st_e + 1), "element spans >2 stations"
+    dev_e = st_e // L
+    counts = np.bincount(dev_e, minlength=n_devices)
+    Emax = max(int(counts.max()), 1)
+
+    Xe_all = np.asarray(crm.X)[np.asarray(crm.conn)]  # (nelems, 4, 3)
+    comp_all = np.asarray(crm.comp)
+    fm_g = np.asarray(crm.free_mask)
+
+    # padded element slots carry a unit dummy quad: a degenerate (all-zero)
+    # element makes shell_element_matrices produce NaN frames, and the
+    # 0-mask cannot cancel a NaN (0 * nan = nan)
+    Xe_cm = np.zeros((n_devices * Emax, 4, 3))
+    Xe_cm[:] = np.array([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0],
+                         [1.0, 1.0, 0.0], [0.0, 1.0, 0.0]])
+    comp_cm = np.zeros(n_devices * Emax, dtype=np.int32)
+    dofs_cm = np.zeros((n_devices * Emax, 24), dtype=np.int32)
+    me_cm = np.zeros((n_devices * Emax, 24))
+    fill = np.zeros(n_devices, dtype=np.int64)
+    for e in range(dofs_g.shape[0]):
+        d = int(dev_e[e])
+        s = d * Emax + int(fill[d])
+        fill[d] += 1
+        Xe_cm[s] = Xe_all[e]
+        comp_cm[s] = comp_all[e]
+        dofs_cm[s] = dofs_g[e] - d * L * b
+        me_cm[s] = fm_g[dofs_g[e]]
+    assert dofs_cm.min() >= 0 and dofs_cm.max() < (L + 1) * b
+
+    # free mask / tip load, station-partitioned (global layout IS the
+    # padded layout up to trailing pad stations)
+    def _shard_vec(v):
+        full = np.zeros(part.n_padded)
+        full[: v.shape[0]] = v
+        return jnp.asarray(full.reshape(n_devices, part.n_local))
+
+    free_sh = _shard_vec(fm_g)
+    f_sh = _shard_vec(np.asarray(crm.tip_load()))
+
+    Xe_cm = jnp.asarray(Xe_cm)
+    comp_cm = jnp.asarray(comp_cm)
+    dofs_cm = jnp.asarray(dofs_cm)
+    me_cm = jnp.asarray(me_cm)
+
+    def solve_local_fn(t_l, Xe_l, me_l, dofs_l):
+        d = jax.lax.axis_index(axis)
+        fm_l = free_sh[d]
+
+        def assemble(te):
+            Ke, Me = shell_element_matrices(Xe_l, te, E=crm.E,
+                                            nu=crm.nu, rho=crm.rho)
+            Ke = Ke * me_l[:, :, None] * me_l[:, None, :]
+            Me = Me * me_l[:, :, None] * me_l[:, None, :]
+            return (GridHaloOperator(Ke, dofs_l, part, axis),
+                    GridHaloOperator(Me, dofs_l, part, axis))
+
+        def factor_fn(A, B, sig, mode):
+            assert mode == "normal"
+            # exact distributed substructuring factor: the shell matrix's
+            # ~1e8 bending/membrane conditioning defeats one-level
+            # Schwarz-PCG (observed: no convergence in 300 iterations)
+            return StationSchurFactor.build(A.mats - sig * B.mats, dofs_l,
+                                            part, axis)
+
+        def v0_fn(te):
+            key = jax.random.PRNGKey(12345)
+            v = jax.random.uniform(key, (part.n_local,), dtype=jnp.float64,
+                                   minval=-1.0, maxval=1.0)
+            return v * fm_l
+
+        problem = EigProblem(assemble=assemble, factor=factor_fn, v0=v0_fn)
+        cfg = EighGenConfig(N=N, m=m, sigma=0.0,
+                            adjoint_method=crm.adjoint_method,
+                            adjoint_maxiter=adjoint_maxiter,
+                            nrestart=nrestart, eig_atol=crm.eig_atol,
+                            axis=axis)
+        lam, Q = eigh_gen(t_l, problem, cfg)
+        vals = psum(f_sh[d] @ Q, axis)  # (N,) modal load participation
+        return jnp.sum(vals**2 / lam)
+
+    solve_local = partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P())(solve_local_fn)
+
+    def objective(tcomp):
+        # per-element thickness gathered OUTSIDE the shard_map so the
+        # differentiable input is itself element-sharded (a replicated
+        # differentiated shard_map operand trips a GSPMD sharding-override
+        # assert in the transpose); the VJP chains back through the gather
+        t_cm = tcomp[comp_cm]
+        return solve_local(t_cm, Xe_cm, me_cm, dofs_cm)
+
+    return objective, crm, mesh, part
+
+
+def _psum_gather(x, ndev, axis):
+    """all_gather via one-hot psum: scatter this device's value into its
+    slot of a (ndev, ...) buffer and all-reduce. Functionally identical to
+    jax.lax.all_gather; used because all_gather outputs stored as custom-VJP
+    residuals trip shard_map's replication-variance bookkeeping (observed:
+    "Unexpected XLA sharding override" asserts / tracer-leak errors in the
+    transpose), while psum residuals are exercised everywhere and safe."""
+    d = jax.lax.axis_index(axis)
+    buf = jnp.zeros((ndev,) + x.shape, dtype=x.dtype)
+    buf = jax.lax.dynamic_update_index_in_dim(buf, x, d, 0)
+    return jax.lax.psum(buf, axis)
+
+
+def local_station_chain(mats, dofs, part: GridPartition):
+    """This device's full station-chain blocks INCLUDING the right
+    interface: (L+1, b, b) diagonal blocks D (D[L] = this device's element
+    contributions to the neighbour's first station) and (L, b, b)
+    sub-diagonal blocks E with E[i] = A[station i+1, station i].
+
+    Unlike ``local_line_blocks`` (which drops halo couplings — one-level
+    additive Schwarz), nothing is dropped: these are the exact subdomain
+    matrices A_d with support on stations [dL, dL+L], so sum_d A_d = A.
+    """
+    L, b = part.L, part.line_dofs
+    dtype = mats.dtype
+    li = dofs // b  # (ne, d) station of each element dof (0..L)
+    wi = dofs % b
+
+    same = (li[:, :, None] == li[:, None, :])
+    lower = (li[:, :, None] == li[:, None, :] + 1)
+
+    D = jnp.zeros((L + 2, b, b), dtype=dtype)
+    d_idx = jnp.where(same, li[:, :, None], L + 1)
+    D = D.at[d_idx, wi[:, :, None], wi[:, None, :]].add(
+        jnp.where(same, mats, 0.0))
+    D = D[: L + 1]
+
+    E = jnp.zeros((L + 1, b, b), dtype=dtype)
+    e_idx = jnp.where(lower, li[:, None, :], L)  # index by the lower station
+    E = E.at[e_idx, wi[:, :, None], wi[:, None, :]].add(
+        jnp.where(lower, mats, 0.0))
+    E = E[:L]
+    return D, E
+
+
+def _unit_diag_fix(D):
+    """Unit diagonal on empty (masked / padded) DOFs so Cholesky exists."""
+    diag = jnp.diagonal(D, axis1=-2, axis2=-1)
+    fix = (diag == 0.0).astype(D.dtype)
+    return D + jax.vmap(jnp.diag)(fix) if D.ndim == 3 else D + jnp.diag(fix)
+
+
+@jax.tree_util.register_pytree_node_class
+class StationSchurFactor:
+    """EXACT distributed direct solve of a station-block-tridiagonal SPD
+    matrix partitioned over a 1-D device mesh — substructuring (a.k.a.
+    block cyclic reduction across devices):
+
+    * build: each device Cholesky-factors its INTERIOR station chain
+      (stations dL+1 .. dL+L-1 — these couple only to this device's
+      elements), forms the 2b x 2b Schur complement onto its two interface
+      stations (dL and (d+1)L), and one all_gather assembles the replicated
+      (ndev+1)-station reduced block tridiagonal system.
+    * apply: one local interior solve, one all_gather of the (2, b, k)
+      interface right-hand-side shares, one replicated reduced solve, one
+      local back-substitution. Exact f64 direct solve, one collective per
+      apply.
+
+    This is the distributed role SuperLU+MPI-TACS play in the reference's
+    CRM (crm.py:62-144), built for the TPU ICI mesh. Unlike the one-level
+    Schwarz-PCG (whose conditioning fails on shell matrices with ~1e8
+    bending/membrane spread), the apply is exact regardless of
+    conditioning.
+    """
+
+    def __init__(self, Tint, W0, W1, E0, Elast, red, part, axis):
+        self.Tint = Tint  # interior-chain factor (None when L == 1)
+        self.W0 = W0  # (n_int, b) = Tint^{-1} (e_1 (x) E0)
+        self.W1 = W1  # (n_int, b) = Tint^{-1} (e_last (x) Elast^T)
+        self.E0 = E0  # (b, b) A[first interior, I_d]
+        self.Elast = Elast  # (b, b) A[I_{d+1}, last interior]
+        self.red = red  # replicated reduced interface factor
+        self.part = part
+        self.axis = axis
+
+    @classmethod
+    def build(cls, mats, dofs, part: GridPartition, axis: str):
+        from ..ops.blockfactor import BlockTridiagFactor
+
+        L, b = part.L, part.line_dofs
+        D, E = local_station_chain(mats, dofs, part)
+        if L > 1:
+            Tint = BlockTridiagFactor.from_blocks(
+                _unit_diag_fix(D[1:L]), E[1: L - 1])
+            E0, Elast = E[0], E[L - 1]
+            n_int = (L - 1) * b
+            R0 = jnp.zeros((n_int, b), dtype=D.dtype).at[:b].set(E0)
+            R1 = jnp.zeros((n_int, b), dtype=D.dtype).at[-b:].set(Elast.T)
+            W0 = Tint.mv(R0)
+            W1 = Tint.mv(R1)
+            S00 = D[0] - E0.T @ W0[:b]
+            S10 = -Elast @ W0[-b:]
+            S11 = D[L] - Elast @ W1[-b:]
+        else:
+            Tint, W0, W1 = None, None, None
+            E0 = Elast = E[0]
+            S00, S10, S11 = D[0], E[0], D[1]
+
+        Sg = _psum_gather(jnp.stack([S00, S10, S11]), part.ndev, axis)
+        ndev = part.ndev
+        Dr = jnp.zeros((ndev + 1, b, b), dtype=D.dtype)
+        Dr = Dr.at[:-1].add(Sg[:, 0]).at[1:].add(Sg[:, 2])
+        red = BlockTridiagFactor.from_blocks(_unit_diag_fix(Dr), Sg[:, 1])
+        return cls(Tint, W0, W1, E0, Elast, red, part, axis)
+
+    @property
+    def shape(self):
+        n = self.part.n_local
+        return (n, n)
+
+    @property
+    def dtype(self):
+        return self.E0.dtype
+
+    def mv(self, r):
+        part, axis = self.part, self.axis
+        L, b, ndev = part.L, part.line_dofs, part.ndev
+        squeeze = r.ndim == 1
+        if squeeze:
+            r = r[:, None]
+        k = r.shape[1]
+        rb = r.reshape(L, b, k)
+        r_I = rb[0]
+        if L > 1:
+            r_int = rb[1:].reshape((L - 1) * b, k)
+            y = self.Tint.mv(r_int)
+            sh0 = r_I - self.E0.T @ y[:b]
+            sh1 = -self.Elast @ y[-b:]
+        else:
+            y = None
+            sh0, sh1 = r_I, jnp.zeros_like(r_I)
+        g = _psum_gather(jnp.stack([sh0, sh1]), ndev, axis)  # (ndev, 2, b, k)
+        rhs = jnp.zeros((ndev + 1, b, k), dtype=r.dtype)
+        rhs = rhs.at[:-1].add(g[:, 0]).at[1:].add(g[:, 1])
+        xI = self.red.mv(rhs.reshape(-1, k)).reshape(ndev + 1, b, k)
+        d = jax.lax.axis_index(axis)
+        xI_own = jnp.take(xI, d, axis=0)
+        if L > 1:
+            xI_right = jnp.take(xI, d + 1, axis=0)
+            x_int = y - self.W0 @ xI_own - self.W1 @ xI_right
+            x = jnp.concatenate([xI_own[None], x_int.reshape(L - 1, b, k)])
+        else:
+            x = xI_own[None]
+        x = x.reshape(L * b, k)
+        if squeeze:
+            x = x[:, 0]
+        return x
+
+    def __call__(self, x):
+        return self.mv(x)
+
+    def tree_flatten(self):
+        return ((self.Tint, self.W0, self.W1, self.E0, self.Elast,
+                 self.red), (self.part, self.axis))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)

@@ -505,3 +505,32 @@ class TestGraftEntry:
         fn, args = ge.entry()
         lam, Q = jax.jit(fn)(*args)
         assert np.all(np.isfinite(np.asarray(lam)))
+
+
+class TestShardedCRM:
+    def test_serial_vs_sharded_crm_gradient(self, mesh):
+        """Station-sharded wingbox (VERDICT r1 §5 follow-through): the
+        sharded modal-compliance value and thickness gradient match the
+        serial CRM's three-phase adjoint."""
+        from eigd_tpu.parallel.sharded import make_sharded_crm_objective
+
+        obj_sh, crm_sh, mesh2, part = make_sharded_crm_objective(
+            NDEV, nspan=8, nchord=4, nheight=2, N=4, m=48, mesh=mesh)
+        t0 = jnp.asarray(crm_sh.x)
+        with mesh:
+            v_sh, g_sh = jax.value_and_grad(obj_sh)(t0)
+
+        from eigd_tpu.models.crm import CRM
+
+        crm = CRM(nspan=8, nchord=4, nheight=2, N=4, m=48)
+        crm.initialize()
+        v_se = float(crm.get_modal_compliance())
+        crm.initialize_adjoint()
+        crm.add_modal_compliance_derivative(1.0)
+        crm.finalize_adjoint()
+        g_se = np.asarray(crm.xb)
+
+        assert abs(float(v_sh) - v_se) / abs(v_se) < 1e-6
+        scale = float(np.max(np.abs(g_se)))
+        np.testing.assert_allclose(np.asarray(g_sh) / scale, g_se / scale,
+                                   atol=1e-6)
