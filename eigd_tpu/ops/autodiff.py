@@ -253,10 +253,15 @@ def _eigh_gen_fwd(theta, problem, cfg):
     # Slim the saved state: the reverse pass (laa guess + Krylov adjoint +
     # correction) reads res.V / Ys / theta / lam / Phi but never res.BV —
     # dropping it saves an (m, n) f64 buffer (1.5 GB at 1M DOF) across the
-    # whole forward-to-backward live range.
+    # whole forward-to-backward live range. BV is dropped as None (an empty
+    # pytree subtree), NOT a (0, 0) placeholder array: a zero-sized saved
+    # buffer in the multi-GB 1M-DOF program deterministically corrupted the
+    # forward eigensolve on XLA:TPU (wrong-but-plausible spectrum, same
+    # digits in the fused and split programs), while programs without the
+    # zero-sized output are exact. See scripts/diag_1m_staged.py.
     import dataclasses as _dc
 
-    res_slim = _dc.replace(res, BV=jnp.zeros((0, 0), dtype=res.BV.dtype))
+    res_slim = _dc.replace(res, BV=None)
     return (lam, Phi), (theta, A, B, res_slim, factor)
 
 
@@ -308,31 +313,71 @@ def staged_value_and_grad(pre, tail, problem: EigProblem,
 
     Returns ``fn(x) -> (value, grad)`` backed by two cached jits.
     Mathematically identical to ``jax.jit(jax.value_and_grad(...))`` — the
-    same ``_eigh_gen_fwd`` / ``_eigh_gen_bwd`` rules run, just in separate
-    executables (parity-tested against the fused path in
+    same solver code runs, just in separate executables (parity-tested
+    against the fused path in
     tests/test_lanczos.py::TestStagedValueAndGrad).
+
+    Program-boundary design: the only bulk array crossing the seam is the
+    Lanczos basis ``res.V`` (the reverse solve's Galerkin guess needs it);
+    it is donated into the reverse program. The operators A/B and the
+    factorization are *recomputed from theta* inside the reverse program —
+    they are deterministic functions of it, the factor build is ~1 s at
+    1M DOF, and rebuilding lets XLA manage their lifetime instead of
+    pinning ~2 GB of materialized program outputs across the boundary.
     """
+    import dataclasses as _dc
+
+    def _rebuild(theta):
+        A, B = problem.assemble(theta)
+        if problem.factor is not None:
+            factor = problem.factor(A, B, cfg.sigma, cfg.mode)
+        else:
+            factor = make_shift_factor(A, B, cfg.sigma, mode=cfg.mode,
+                                       kind=cfg.factor_kind)
+        return A, B, factor
 
     @jax.jit
     def fwd_prog(x):
         theta = pre(x)
-        (lam, Phi), saved = _eigh_gen_fwd(theta, problem, cfg)
-        return lam, Phi, saved
+        A, B = problem.assemble(theta)
+        lam, Phi, (res, factor) = _forward_ops(theta, problem, A, B, cfg)
+        # BV is never read by the reverse pass; dropped as None, never a
+        # zero-sized array (see the miscompile note in _eigh_gen_fwd)
+        res = _dc.replace(res, BV=None)
+        return res
 
-    @jax.jit
-    def bwd_prog(x, lam, Phi, saved):
-        v, tail_vjp = jax.vjp(tail, lam, Phi)
+    @partial(jax.jit, donate_argnums=(1,))
+    def bwd_prog(x, res):
+        theta, pre_vjp = jax.vjp(pre, x)
+        A, B, factor = _rebuild(theta)
+        v, tail_vjp = jax.vjp(tail, res.lam, res.Phi)
         lam_bar, Phi_bar = tail_vjp(jnp.ones_like(v))
-        (theta_bar,) = _eigh_gen_bwd(problem, cfg, saved,
-                                     (lam_bar, Phi_bar))
-        _, pre_vjp = jax.vjp(pre, x)
+        deflate = None
+        if problem.nullspace is not None and cfg.adjoint_method == "pcpg":
+            from .lanczos import b_orthonormalize_rows
+
+            deflate = b_orthonormalize_rows(problem.nullspace(theta), B.mv,
+                                            axis=cfg.axis)
+        W_A, W_B, Phi = solve_eig_adjoint(A, B, res, factor, lam_bar,
+                                          Phi_bar, cfg, deflate=deflate)
+        sign_b = -1.0 if cfg.mode == "normal" else 1.0
+
+        def bilinear(th):
+            A2, B2 = problem.assemble(th)
+            fA = jnp.sum(W_A * A2.mv(Phi))
+            fB = jnp.sum(W_B * B2.mv(Phi))
+            return fA + sign_b * fB
+
+        theta_bar = jax.grad(bilinear)(theta)
         (x_bar,) = pre_vjp(theta_bar)
         return v, x_bar
 
     def fn(x):
-        lam, Phi, saved = fwd_prog(x)
-        return bwd_prog(x, lam, Phi, saved)
+        res = fwd_prog(x)
+        return bwd_prog(x, res)
 
+    fn.fwd_prog = fwd_prog
+    fn.bwd_prog = bwd_prog
     return fn
 
 

@@ -150,10 +150,15 @@ class BlockTridiagFactor:
         # of the blocks (scan carries must match their outputs' mesh axes).
         F0 = 0.0 * D[0]
         _, (Linv_all, F_all) = jax.lax.scan(body, F0, (D, Epad_tail))
-        F_sub = F_all[:-1]
+        # A single-block factor has no couplings; store None, NOT a
+        # zero-sized (0, b, b) array — zero-sized pytree leaves crossing a
+        # jit/shard_map boundary (e.g. as custom-VJP residuals) are
+        # canonicalized to replicated by GSPMD while their variance says
+        # device-varying, which trips a hard sharding-override assert.
+        F_sub = F_all[:-1] if nb > 1 else None
         if store_dtype is not None:
             Linv_all = Linv_all.astype(store_dtype)
-            F_sub = F_sub.astype(store_dtype)
+            F_sub = F_sub.astype(store_dtype) if F_sub is not None else None
         return cls(Linv_all, F_sub, (nb, b))
 
     @property
@@ -172,8 +177,10 @@ class BlockTridiagFactor:
         x = x.astype(self.Linv.dtype)  # scans run at the factor's precision
         k = x.shape[1]
         xb = x.reshape(self.nb, self.b, k)
+        F = (self.F if self.F is not None else
+             jnp.zeros((0, self.b, self.b), dtype=self.Linv.dtype))
         Fpad = jnp.concatenate(
-            [jnp.zeros((1, self.b, self.b), dtype=self.Linv.dtype), self.F])
+            [jnp.zeros((1, self.b, self.b), dtype=self.Linv.dtype), F])
 
         # forward: y_i = Linv_i (x_i - F_{i-1} y_{i-1})
         def fwd(y_prev, inputs):
@@ -191,7 +198,7 @@ class BlockTridiagFactor:
             return z, z
 
         Fpad_tail = jnp.concatenate(
-            [self.F, jnp.zeros((1, self.b, self.b), dtype=self.Linv.dtype)])
+            [F, jnp.zeros((1, self.b, self.b), dtype=self.Linv.dtype)])
         _, Z = jax.lax.scan(bwd, y0, (Y, self.Linv, Fpad_tail), reverse=True)
         out = Z.reshape(self.nb * self.b, k)
         if squeeze:
