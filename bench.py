@@ -62,8 +62,9 @@ def make_topo():
     # ~1e-2/round contraction floor at this size; 1e-9 + the self-
     # calibrating round exits keep the FD check at ~1e-6 for half the cost
     fo = ({"rtol": 1e-11, "approx_rtol": APPROX_RTOL,
-           "approx_maxiter": APPROX_MAXITER} if FACTOR == "mg"
-          else {"tol": 1e-11})
+           "approx_maxiter": APPROX_MAXITER,
+           "stag_bad": int(os.environ.get("EIGD_BENCH_STAG", 2))}
+          if FACTOR == "mg" else {"tol": 1e-11})
     # lanczos_polish=1: one shift-invert subspace-iteration step on the
     # selected Ritz block (one extra accurate factor apply). Without it the
     # TPU basis-noise floor (~1e-7, f32 sweeps + dd-GEMM measurement) is
@@ -132,6 +133,14 @@ def tpu_run():
         g.block_until_ready()
         times.append(time.perf_counter() - t0)
     log(f"steady-state runs: {[round(t, 3) for t in times]}")
+    if staged:
+        # Free diagnostic from the two-program split: where does the wall
+        # time go, forward eigensolve or reverse (adjoint) solve?
+        t0 = time.perf_counter()
+        out = run.fwd_prog(x0)
+        jax.block_until_ready(out)
+        log(f"  fwd program alone: {time.perf_counter() - t0:.3f}s "
+            "(reverse = total - fwd)")
 
     fd_rel = None
     if not os.environ.get("EIGD_BENCH_NO_FD"):

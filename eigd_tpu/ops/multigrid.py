@@ -234,7 +234,7 @@ class GridMGFactor:
 
     def __init__(self, Ws, dinvs, lmaxs, coarse_inv, W64, shapes, ndof,
                  degree=3, rtol=1e-13, maxiter=60, approx_rtol=1e-5,
-                 approx_maxiter=18):
+                 approx_maxiter=18, stag_bad=2):
         self.Ws = tuple(Ws)  # f32 stencils, fine -> coarse
         self.dinvs = tuple(dinvs)
         self.lmaxs = tuple(lmaxs)
@@ -247,12 +247,16 @@ class GridMGFactor:
         self.maxiter = maxiter
         self.approx_rtol = approx_rtol
         self.approx_maxiter = approx_maxiter
+        self.stag_bad = stag_bad  # consecutive plateau iterations before
+        # the PCG stagnation exit fires; large value = exit on tol/maxiter
+        # only
 
     # -- construction -------------------------------------------------------
 
     @classmethod
     def build(cls, W, grid_shape, ndof, min_coarse=2048, degree=3,
-              rtol=1e-13, maxiter=60, approx_rtol=1e-5, approx_maxiter=18):
+              rtol=1e-13, maxiter=60, approx_rtol=1e-5, approx_maxiter=18,
+              stag_bad=2):
         """W: fine-level stencil (f64 or f32) of the SPD shifted operator."""
         W64 = W if W.dtype == jnp.float64 else None
         Wl = W.astype(jnp.float32)
@@ -298,7 +302,8 @@ class GridMGFactor:
         coarse_inv = Linv.T @ Linv
         return cls(Ws, dinvs, lmaxs, coarse_inv, W64, shapes, ndof,
                    degree=degree, rtol=rtol, maxiter=maxiter,
-                   approx_rtol=approx_rtol, approx_maxiter=approx_maxiter)
+                   approx_rtol=approx_rtol, approx_maxiter=approx_maxiter,
+                   stag_bad=stag_bad)
 
     # -- V-cycle -------------------------------------------------------------
 
@@ -345,7 +350,17 @@ class GridMGFactor:
             # fori_loop body — this restructuring avoids that composition
             # and the guard makes any recurrence of it slow, not wrong.
             # TPU is unaffected.)
-            z32 = self._vcycle(0, r.astype(jnp.float32))
+            # optimization_barrier on both sides: the V-cycle output has
+            # been observed (r2, TPU, 1M DOF) to be deterministically
+            # corrupted when XLA fuses/reorders it into a large enclosing
+            # program (forward+adjoint jits): the inner PCG then sees a
+            # garbage preconditioner, stagnates at O(1) residual in ~3
+            # iterations, and every factor apply silently returns junk —
+            # the whole-eigensolve "wrong nearby spectrum" failure. The
+            # barriers pin the V-cycle's inputs/outputs so its computation
+            # cannot be cross-fused with the surrounding loop body.
+            r32 = jax.lax.optimization_barrier(r.astype(jnp.float32))
+            z32 = jax.lax.optimization_barrier(self._vcycle(0, r32))
             z = z32.astype(dtype)
             rz = jnp.sum(r * z, axis=0)
             ok = rz > 0.0
@@ -363,7 +378,8 @@ class GridMGFactor:
         def cond(carry):
             k, x, r, z, p, rz, r2, best, bad = carry
             active = r2 > tol2
-            return (k < maxiter) & jnp.any(active) & (bad < 2)
+            return ((k < maxiter) & jnp.any(active)
+                    & (bad < self.stag_bad))
 
         def body(carry):
             k, x, r, z, p, rz, r2, best, bad = carry
@@ -476,13 +492,15 @@ class GridMGFactor:
         children = (self.Ws, self.dinvs, self.lmaxs, self.coarse_inv,
                     self.W64)
         aux = (self.shapes, self.ndof, self.degree, self.rtol, self.maxiter,
-               self.approx_rtol, self.approx_maxiter)
+               self.approx_rtol, self.approx_maxiter, self.stag_bad)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         Ws, dinvs, lmaxs, coarse_inv, W64 = children
-        shapes, ndof, degree, rtol, maxiter, approx_rtol, approx_maxiter = aux
+        (shapes, ndof, degree, rtol, maxiter, approx_rtol, approx_maxiter,
+         stag_bad) = aux
         return cls(Ws, dinvs, lmaxs, coarse_inv, W64, shapes, ndof,
                    degree=degree, rtol=rtol, maxiter=maxiter,
-                   approx_rtol=approx_rtol, approx_maxiter=approx_maxiter)
+                   approx_rtol=approx_rtol, approx_maxiter=approx_maxiter,
+                   stag_bad=stag_bad)
