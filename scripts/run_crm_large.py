@@ -1,0 +1,89 @@
+"""CRM wingbox at >=100k DOF on the real chip (VERDICT r1 §5).
+
+Runs the serial three-phase modal-compliance pipeline (station-padded BCR
+factor) at a BASELINE-config-scale mesh, records solve + adjoint wall times
+from the model profile, and checks the thickness gradient against central
+finite differences.
+
+Sizes: nspan=112, nchord=16, nheight=8 -> b = 6*17*9 = 918,
+nvars = 113*918 = 103,734 DOF (>= the 100k bar; reference config #5 path).
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_enable_x64", True)
+
+NSPAN = int(os.environ.get("CRM_NSPAN", 112))
+NCHORD = int(os.environ.get("CRM_NCHORD", 16))
+NHEIGHT = int(os.environ.get("CRM_NHEIGHT", 8))
+N = int(os.environ.get("CRM_N", 6))
+M = int(os.environ.get("CRM_M", 72))
+
+
+def main():
+    from eigd_tpu.models.crm import CRM
+
+    crm = CRM(nspan=NSPAN, nchord=NCHORD, nheight=NHEIGHT, N=N, m=M,
+              lanczos_polish=1)
+    print(f"CRM: {crm.nvars} padded DOF ({crm.nnodes} nodes, "
+          f"{crm.profile['nelems']} elements, {crm.nb} stations x "
+          f"b={crm.b})", flush=True)
+
+    t0 = time.time()
+    crm.initialize()
+    print(f"initialize (compile+solve): {time.time() - t0:.1f}s", flush=True)
+    print("freq (Hz):", crm.profile["natural frequencies (Hz)"], flush=True)
+
+    c0 = float(crm.get_modal_compliance())
+    crm.initialize_adjoint()
+    crm.add_modal_compliance_derivative(1.0)
+    t0 = time.time()
+    crm.finalize_adjoint()
+    print(f"finalize_adjoint (compile+solve): {time.time() - t0:.1f}s",
+          flush=True)
+    g = np.asarray(crm.xb)
+    print("grad:", g, flush=True)
+
+    # steady-state timing: re-run the solve + adjoint on the cached programs
+    t0 = time.time()
+    crm.initialize()
+    t_solve = time.time() - t0
+    crm.initialize_adjoint()
+    crm.add_modal_compliance_derivative(1.0)
+    t0 = time.time()
+    crm.finalize_adjoint()
+    t_adj = time.time() - t0
+    print(f"steady-state: solve {t_solve:.2f}s  adjoint {t_adj:.2f}s",
+          flush=True)
+
+    # central-difference check along a random thickness direction
+    rng = np.random.default_rng(5)
+    p = jnp.asarray(rng.uniform(0.5, 1.0, size=crm.ncomp))
+    h = float(os.environ.get("CRM_FD_H", 1e-5))
+
+    def value(x):
+        c = CRM(nspan=NSPAN, nchord=NCHORD, nheight=NHEIGHT, N=N, m=M,
+                lanczos_polish=1)
+        c.x = x
+        c.initialize()
+        return float(c.get_modal_compliance())
+
+    vp = value(crm.x + h * p)
+    vm = value(crm.x - h * p)
+    fd = (vp - vm) / (2 * h)
+    ans = float(p @ jnp.asarray(g))
+    rel = abs(ans - fd) / abs(fd)
+    print(f"FD h={h:.0e}: adjoint={ans:.10e} fd={fd:.10e} rel={rel:.3e}",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -281,6 +281,7 @@ class TestGradientParity:
         ans = float(pert @ g_sh)
         assert abs(ans - fd) / abs(fd) < 1e-6, (ans, fd)
 
+    @pytest.mark.slow
     def test_sharded_polish_gradient(self, mesh):
         """Ritz-block polish under shard_map (psum'd dd-GEMMs + sharded
         factor apply): gradient still matches FD."""
@@ -508,6 +509,7 @@ class TestGraftEntry:
 
 
 class TestShardedCRM:
+    @pytest.mark.slow
     def test_serial_vs_sharded_crm_gradient(self, mesh):
         """Station-sharded wingbox (VERDICT r1 §5 follow-through): the
         sharded modal-compliance value and thickness gradient match the
