@@ -63,7 +63,12 @@ def make_topo():
     # calibrating round exits keep the FD check at ~1e-6 for half the cost
     fo = ({"rtol": 1e-11, "approx_rtol": APPROX_RTOL,
            "approx_maxiter": APPROX_MAXITER,
-           "stag_bad": int(os.environ.get("EIGD_BENCH_STAG", 2))}
+           "stag_bad": int(os.environ.get("EIGD_BENCH_STAG", 2)),
+           # V-cycle implementation: "barrier" pins the smoother matvecs
+           # behind optimization_barrier — mitigation for the XLA:TPU
+           # large-program V-cycle miscompile observed at 1M DOF (see
+           # ops/multigrid.py GridMGFactor._vcycle).
+           "vcycle": os.environ.get("EIGD_BENCH_VCYCLE", "plain")}
           if FACTOR == "mg" else {"tol": 1e-11})
     # lanczos_polish=1: one shift-invert subspace-iteration step on the
     # selected Ritz block (one extra accurate factor apply). Without it the

@@ -191,12 +191,17 @@ def estimate_lmax(W, dinv, nx, ny, ndof, iters=12, seed=7):
 
 
 def cheb_smooth(W, dinv, lmax, x, b, nx, ny, ndof, degree=3,
-                lo_frac=0.25):
+                lo_frac=0.25, barrier=False):
     """Chebyshev iteration for D^-1 A on [lo_frac*lmax, 1.02*lmax].
 
     Standard three-term recurrence on the preconditioned residual; no inner
     products (TPU-friendly: every step is one stencil matvec + AXPYs).
+
+    ``barrier=True`` pins every stencil matvec behind
+    ``lax.optimization_barrier`` — the mitigation for the observed XLA:TPU
+    large-program miscompile of fused V-cycle subgraphs (see GridMGFactor).
     """
+    ob = jax.lax.optimization_barrier if barrier else (lambda v: v)
     lmin = lo_frac * lmax
     lmax = 1.02 * lmax
     theta = 0.5 * (lmax + lmin)
@@ -204,12 +209,12 @@ def cheb_smooth(W, dinv, lmax, x, b, nx, ny, ndof, degree=3,
     sigma1 = theta / delta
     rho = 1.0 / sigma1
 
-    r = b - stencil_matvec(W, x, nx, ny, ndof)
+    r = b - ob(stencil_matvec(W, ob(x), nx, ny, ndof))
     d = (dinv[:, None] if r.ndim == 2 else dinv) * r / theta
     x = x + d
     for _ in range(degree - 1):
         rho_new = 1.0 / (2.0 * sigma1 - rho)
-        r = b - stencil_matvec(W, x, nx, ny, ndof)
+        r = b - ob(stencil_matvec(W, ob(x), nx, ny, ndof))
         z = (dinv[:, None] if r.ndim == 2 else dinv) * r
         d = rho_new * rho * d + (2.0 * rho_new / delta) * z
         x = x + d
@@ -234,7 +239,7 @@ class GridMGFactor:
 
     def __init__(self, Ws, dinvs, lmaxs, coarse_inv, W64, shapes, ndof,
                  degree=3, rtol=1e-13, maxiter=60, approx_rtol=1e-5,
-                 approx_maxiter=18, stag_bad=2):
+                 approx_maxiter=18, stag_bad=2, vcycle="plain"):
         self.Ws = tuple(Ws)  # f32 stencils, fine -> coarse
         self.dinvs = tuple(dinvs)
         self.lmaxs = tuple(lmaxs)
@@ -250,13 +255,20 @@ class GridMGFactor:
         self.stag_bad = stag_bad  # consecutive plateau iterations before
         # the PCG stagnation exit fires; large value = exit on tol/maxiter
         # only
+        # V-cycle implementation variant (miscompile mitigations, r2 hunt):
+        #   "plain"   — straight-line recursion (fastest when XLA is honest)
+        #   "barrier" — optimization_barrier around every smoother matvec
+        #               and V-cycle stage edge
+        #   "f64"     — run the whole V-cycle in f64 (different program
+        #               shape; ~2x the V-cycle cost)
+        self.vcycle = vcycle
 
     # -- construction -------------------------------------------------------
 
     @classmethod
     def build(cls, W, grid_shape, ndof, min_coarse=2048, degree=3,
               rtol=1e-13, maxiter=60, approx_rtol=1e-5, approx_maxiter=18,
-              stag_bad=2):
+              stag_bad=2, vcycle="plain"):
         """W: fine-level stencil (f64 or f32) of the SPD shifted operator."""
         W64 = W if W.dtype == jnp.float64 else None
         Wl = W.astype(jnp.float32)
@@ -303,22 +315,41 @@ class GridMGFactor:
         return cls(Ws, dinvs, lmaxs, coarse_inv, W64, shapes, ndof,
                    degree=degree, rtol=rtol, maxiter=maxiter,
                    approx_rtol=approx_rtol, approx_maxiter=approx_maxiter,
-                   stag_bad=stag_bad)
+                   stag_bad=stag_bad, vcycle=vcycle)
 
     # -- V-cycle -------------------------------------------------------------
 
     def _vcycle(self, lvl, b):
+        """One V-cycle at ``b``'s dtype resolution.
+
+        ``self.vcycle`` selects the implementation: "plain" is the
+        straight-line recursion; "barrier" pins every smoother matvec and
+        stage edge behind ``lax.optimization_barrier``; "f64" runs all
+        levels in f64. The latter two exist because XLA:TPU has been
+        observed (r2, 1M DOF) to miscompile the f32 V-cycle subgraph when
+        it is fused into certain large enclosing programs — the apply then
+        *expands* the residual (contraction ~22 vs 0.027 measured in the
+        same program on the same factor) while every build artifact is
+        bit-identical.
+        """
+        barrier = self.vcycle == "barrier"
+        ob = jax.lax.optimization_barrier if barrier else (lambda v: v)
         nx, ny = self.shapes[lvl]
         if lvl == len(self.Ws) - 1:
-            return self.coarse_inv @ b
+            ci = self.coarse_inv
+            return ci.astype(b.dtype) @ b if ci.dtype != b.dtype else ci @ b
         W, dinv, lmax = self.Ws[lvl], self.dinvs[lvl], self.lmaxs[lvl]
+        if W.dtype != b.dtype:  # "f64" variant: cast the level up
+            W = W.astype(b.dtype)
+            dinv = dinv.astype(b.dtype)
         x = cheb_smooth(W, dinv, lmax, jnp.zeros_like(b), b, nx, ny,
-                        self.ndof, degree=self.degree)
-        r = b - stencil_matvec(W, x, nx, ny, self.ndof)
-        xc = self._vcycle(lvl + 1, restrict(r, nx // 2, ny // 2, self.ndof))
+                        self.ndof, degree=self.degree, barrier=barrier)
+        r = b - ob(stencil_matvec(W, ob(x), nx, ny, self.ndof))
+        xc = self._vcycle(lvl + 1,
+                          ob(restrict(r, nx // 2, ny // 2, self.ndof)))
         x = x + prolong(xc, nx // 2, ny // 2, self.ndof)
         return cheb_smooth(W, dinv, lmax, x, b, nx, ny, self.ndof,
-                           degree=self.degree)
+                           degree=self.degree, barrier=barrier)
 
     # -- PCG drivers ----------------------------------------------------------
 
@@ -359,9 +390,11 @@ class GridMGFactor:
             # the whole-eigensolve "wrong nearby spectrum" failure. The
             # barriers pin the V-cycle's inputs/outputs so its computation
             # cannot be cross-fused with the surrounding loop body.
-            r32 = jax.lax.optimization_barrier(r.astype(jnp.float32))
-            z32 = jax.lax.optimization_barrier(self._vcycle(0, r32))
-            z = z32.astype(dtype)
+            pdt = jnp.float64 if (self.vcycle == "f64"
+                                  and dtype == jnp.float64) else jnp.float32
+            rp = jax.lax.optimization_barrier(r.astype(pdt))
+            zp = jax.lax.optimization_barrier(self._vcycle(0, rp))
+            z = zp.astype(dtype)
             rz = jnp.sum(r * z, axis=0)
             ok = rz > 0.0
             return jnp.where(ok[None, :], z, r), jnp.where(
@@ -492,15 +525,16 @@ class GridMGFactor:
         children = (self.Ws, self.dinvs, self.lmaxs, self.coarse_inv,
                     self.W64)
         aux = (self.shapes, self.ndof, self.degree, self.rtol, self.maxiter,
-               self.approx_rtol, self.approx_maxiter, self.stag_bad)
+               self.approx_rtol, self.approx_maxiter, self.stag_bad,
+               self.vcycle)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         Ws, dinvs, lmaxs, coarse_inv, W64 = children
         (shapes, ndof, degree, rtol, maxiter, approx_rtol, approx_maxiter,
-         stag_bad) = aux
+         stag_bad, vcycle) = aux
         return cls(Ws, dinvs, lmaxs, coarse_inv, W64, shapes, ndof,
                    degree=degree, rtol=rtol, maxiter=maxiter,
                    approx_rtol=approx_rtol, approx_maxiter=approx_maxiter,
-                   stag_bad=stag_bad)
+                   stag_bad=stag_bad, vcycle=vcycle)

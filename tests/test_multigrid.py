@@ -93,6 +93,31 @@ class TestFactorSolve:
         xd = np.linalg.solve(dense, np.asarray(b))
         assert np.allclose(x, xd, rtol=0, atol=1e-10 * np.abs(xd).max())
 
+    @pytest.mark.parametrize("variant", ["barrier", "f64"])
+    def test_vcycle_variants_match_plain(self, grid_problem, variant):
+        """The miscompile-mitigation V-cycle variants ("barrier" pins every
+        smoother matvec behind optimization_barrier, "f64" runs all levels
+        in f64) are the same math: solves agree with the plain variant to
+        the solver tolerance, and the one-V-cycle preconditioner output
+        agrees to f32 roundoff (barriers/f64 change fusion and therefore
+        rounding, never the math)."""
+        nx, ny, mesh, K, M, W, dense = grid_problem
+        fac0 = GridMGFactor.build(W, (nx, ny), 2, min_coarse=64)
+        facv = GridMGFactor.build(W, (nx, ny), 2, min_coarse=64,
+                                  vcycle=variant)
+        rng = np.random.default_rng(11)
+        b = jnp.asarray(rng.standard_normal((dense.shape[0], 2)))
+        x0 = np.asarray(jax.jit(fac0.mv)(b))
+        xv = np.asarray(jax.jit(facv.mv)(b))
+        scale = np.abs(x0).max()
+        assert np.allclose(xv, x0, rtol=0, atol=1e-9 * scale)
+
+        z0 = np.asarray(jax.jit(fac0._vcycle, static_argnums=0)(
+            0, b.astype(jnp.float32)))
+        bv = b if variant == "f64" else b.astype(jnp.float32)
+        zv = np.asarray(jax.jit(facv._vcycle, static_argnums=0)(0, bv))
+        assert np.allclose(zv, z0, rtol=0, atol=1e-4 * np.abs(z0).max())
+
     def test_approx_mv_quality(self, grid_problem):
         nx, ny, mesh, K, M, W, dense = grid_problem
         fac = GridMGFactor.build(W, (nx, ny), 2, min_coarse=64)
