@@ -76,13 +76,29 @@ def make_topo():
     # amplified by lam_max/lam in the lam-VJP's phi^T dA phi contraction —
     # measured gradient FD rel-err 0.55 at 1M DOF; with polish the FD check
     # is clean at every size.
+    # Adjoint method: sibk (mixed ladder) default; "pcpg" = the block
+    # projected CG with ONE f32 V-cycle per iteration as the preconditioner
+    # — at 1M DOF each sibk ladder step is a full inner f32 PCG solve
+    # (several V-cycles), so pcpg's per-iteration cost is ~constant-factor
+    # cheaper (see ops/adjoint.py pcpg docstring).
+    adj_method = os.environ.get("EIGD_BENCH_ADJOINT", "sibk")
+    if adj_method == "pcpg":
+        adj_opts = {"maxiter": int(os.environ.get("EIGD_BENCH_ADJ_MAXITER",
+                                                  150)),
+                    "mixed": True}
+    else:
+        adj_opts = {"maxiter": 60, "nrestart": 5, "mixed": True}
     return make_model(nx=NX, ny=NY, Lx=2.0, Ly=1.0, N=N_MODES, rfact=2.0,
                       m=M_LANCZOS, factor_kind=FACTOR, lanczos_tol=1e-11,
                       lanczos_block=BLOCK, lanczos_ortho=ORTHO,
                       lanczos_check_every=2, rtol=1e-7, sigma=SIGMA,
                       factor_options=fo, lanczos_polish=POLISH,
-                      adjoint_options={"maxiter": 60, "nrestart": 5,
-                                       "mixed": True})
+                      adjoint_method=adj_method,
+                      adjoint_options=adj_opts,
+                      # "approx": f32 preconditioner-quality forward sweep +
+                      # polish accurate applies (see block_lanczos_solve)
+                      lanczos_sweep=os.environ.get("EIGD_BENCH_SWEEP",
+                                                   "exact"))
 
 
 def tpu_run():

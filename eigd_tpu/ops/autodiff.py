@@ -64,6 +64,12 @@ class EighGenConfig:
     # damps the TPU basis-noise floor in eigenVECTOR contractions — see
     # lanczos.polish_ritz_block. 1 is enough at 1M DOF; 0 skips (exact f64
     # backends don't need it).
+    lanczos_sweep: str = "exact"  # "approx": drive the forward block-Lanczos
+    # sweep with factor.approx_mv (f32 preconditioner-quality solves) and
+    # recover eigenpair accuracy with the Ritz polish — the forward analog
+    # of the adjoint's mixed ladder. Requires polish >= 1 to be useful; the
+    # factor's accurate mv is then applied only polish times instead of
+    # once per block step. Block path only (block > 1).
 
 
 # ---------------------------------------------------------------------------
@@ -237,7 +243,8 @@ def _forward_ops(theta, problem, A, B, cfg):
                                   tol=cfg.lanczos_tol, v0=v0,
                                   ortho=cfg.lanczos_ortho,
                                   check_every=cfg.lanczos_check_every,
-                                  polish=cfg.polish)
+                                  polish=cfg.polish,
+                                  sweep=cfg.lanczos_sweep)
     else:
         res = lanczos_solve(A, B, factor, cfg.sigma, cfg.N, cfg.m,
                             mode=cfg.mode, seed=cfg.seed, deflate=deflate,

@@ -523,7 +523,8 @@ def polish_ritz_block(A, B, factor, lam, Phi, sigma, mode, deflate=None,
 def block_lanczos_solve(A, B, factor, sigma, N, m, p, mode="normal",
                         seed=12345, v0=None, deflate=None, axis=None,
                         tol=None, check_every=1,
-                        ortho="full", polish=0) -> LanczosResult:
+                        ortho="full", polish=0,
+                        sweep="exact") -> LanczosResult:
     """Block shift-invert Lanczos: p Krylov vectors advance per factor apply.
 
     TPU rationale: the factor apply is latency/bandwidth-bound, so a blocked
@@ -550,11 +551,33 @@ def block_lanczos_solve(A, B, factor, sigma, N, m, p, mode="normal",
 
     m is rounded up to a multiple of p. The 'dl' adjoint needs the scalar
     three-term chain and therefore requires the single-vector solver.
+
+    sweep="approx" drives the per-step factor apply with
+    ``factor.approx_mv`` (a preconditioner-quality f32 solve) instead of
+    the accurate ``mv`` — the forward analog of the adjoint's mixed
+    ladder. Inexact-Krylov rationale: the measured Rayleigh-Ritz solves
+    the exact Galerkin problem on whatever subspace was computed, so
+    inexact applies only lower the subspace's alignment (Ritz residuals
+    floor near the apply accuracy); ``polish_ritz_block`` then restores
+    the eigenpairs with `polish` ACCURATE applies. Net at 1M DOF: q cheap
+    applies + polish accurate ones instead of q accurate ones. The role
+    accurate SuperLU solves play in the reference's forward Lanczos
+    (eigenvector_derivatives.py:1500,1524) is split into cheap-sweep +
+    polish here. NOTE: the adaptive exit's eig_res bound then measures
+    convergence to the INEXACTLY-applied operator — set tol no tighter
+    than the approx apply accuracy.
     """
     A = as_operator(A)
     B = as_operator(B)
     dtype = A.dtype
     n = A.shape[0]
+    approx_fn = getattr(factor, "approx_mv", None)
+    if sweep == "approx" and approx_fn is not None:
+        def apply_fn(Xb):
+            return approx_fn(Xb).astype(dtype)
+    else:
+        def apply_fn(Xb):
+            return factor.mv(Xb)
     q = -(-m // p)
     mtot = q * p
 
@@ -611,7 +634,7 @@ def block_lanczos_solve(A, B, factor, sigma, N, m, p, mode="normal",
     def step(t, V, BV, Hraw, Graw, Hc, V32, BV32):
         lo = t * p
         BVblk = jax.lax.dynamic_slice_in_dim(BV, lo, p, axis=0)
-        w = factor.mv(BVblk.T)  # (n, p) blocked apply
+        w = apply_fn(BVblk.T)  # (n, p) blocked apply
         if local:
             # merged measurement: [RR column | Gram column] of block t
             # (dd_dot: f64-quality at f32 MXU rate; XLA's emulated f64

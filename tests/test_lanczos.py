@@ -473,6 +473,42 @@ class TestRitzPolish:
                                    np.linspace(1.0, 30.0, n)[:4], rtol=1e-9)
 
 
+class TestApproxSweep:
+    """sweep='approx': the forward block-Lanczos sweep driven by
+    factor.approx_mv (preconditioner-quality f32 solves), with accuracy
+    recovered by the Ritz polish — the forward analog of the adjoint's
+    mixed ladder (see block_lanczos_solve docstring). Eigenvalues must
+    match the exact-sweep path; the end-to-end gradient is exact for the
+    approx-swept objective (the custom VJP differentiates whatever the
+    forward computed), so FD agrees once h is large enough that the
+    solver's ~1e-6 objective-noise floor doesn't swamp the quotient."""
+
+    def test_matches_exact_sweep_and_fd(self):
+        from eigd_tpu.models.natural_frequency import make_model
+
+        kw = dict(nx=16, ny=8, N=4, m=64, Lx=2.0, Ly=1.0, rfact=2.0,
+                  factor_kind="mg", lanczos_block=4, lanczos_ortho="local",
+                  factor_options={"min_coarse": 64})
+        topo_e = make_model(lanczos_tol=1e-11, lanczos_polish=1, **kw)
+        topo_a = make_model(lanczos_tol=1e-6, lanczos_polish=2,
+                            lanczos_sweep="approx", **kw)
+        x0 = jnp.asarray(topo_e.x)
+        lam_e = np.asarray(topo_e._solve_fn(x0)[0])
+        lam_a = np.asarray(topo_a._solve_fn(x0)[0])
+        np.testing.assert_allclose(lam_a, lam_e, rtol=1e-9)
+
+        def f(x):
+            lam, Q, rho, rhoE = topo_a._solve_fn(x)
+            return jnp.sum(jnp.sqrt(lam)) + jnp.sum(Q[:6, :] ** 2)
+
+        g = jax.grad(f)(x0)
+        p = jnp.asarray(np.random.default_rng(3).uniform(size=x0.shape))
+        h = 1e-2  # must dominate the approx-sweep objective-noise floor
+        fd = (f(x0 + h * p) - f(x0 - h * p)) / (2 * h)
+        rel = abs(float(p @ g) - float(fd)) / abs(float(fd))
+        assert rel < 5e-4, rel
+
+
 class TestStagedValueAndGrad:
     def test_matches_fused_path(self):
         """staged_value_and_grad (two-program execution, the 1M-DOF
