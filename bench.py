@@ -93,6 +93,8 @@ def make_topo():
                       lanczos_block=BLOCK, lanczos_ortho=ORTHO,
                       lanczos_check_every=2, rtol=1e-7, sigma=SIGMA,
                       factor_options=fo, lanczos_polish=POLISH,
+                      lanczos_polish_spare=int(os.environ.get(
+                          "EIGD_BENCH_POLISH_SPARE", 0)),
                       adjoint_method=adj_method,
                       adjoint_options=adj_opts,
                       # "approx": f32 preconditioner-quality forward sweep +

@@ -41,7 +41,7 @@ class TopologyAnalysis:
                  lanczos_tol=None, lanczos_block=1, lanczos_ortho="full",
                  lanczos_check_every=1, uniform_grid=False,
                  factor_options=None, lanczos_polish=0,
-                 lanczos_sweep="exact"):
+                 lanczos_polish_spare=0, lanczos_sweep="exact"):
         del solver_type, deriv_type  # single TPU-native solver; always batched
         self.fltr = fltr
         self.conn = jnp.asarray(np.asarray(conn))
@@ -111,7 +111,8 @@ class TopologyAnalysis:
             lanczos_ortho=lanczos_ortho,
             lanczos_check_every=lanczos_check_every,
             adjoint_mixed=adjoint_options.get("mixed", False),
-            polish=lanczos_polish, lanczos_sweep=lanczos_sweep)
+            polish=lanczos_polish, polish_spare=lanczos_polish_spare,
+            lanczos_sweep=lanczos_sweep)
         # Scalable path: never densify — block-tridiagonal Cholesky of the
         # shifted element matrices using the grid line structure, with
         # matrix-free element-operator matvecs everywhere else.

@@ -64,6 +64,9 @@ class EighGenConfig:
     # damps the TPU basis-noise floor in eigenVECTOR contractions — see
     # lanczos.polish_ritz_block. 1 is enough at 1M DOF; 0 skips (exact f64
     # backends don't need it).
+    polish_spare: int = 0  # extra Ritz vectors carried through the polish
+    # (block path): moves the subspace-iteration contraction boundary from
+    # lam_{N+1} to lam_{N+spare+1} so errors in NEARBY directions damp too.
     lanczos_sweep: str = "exact"  # "approx": drive the forward block-Lanczos
     # sweep with factor.approx_mv (f32 preconditioner-quality solves) and
     # recover eigenpair accuracy with the Ritz polish — the forward analog
@@ -244,6 +247,7 @@ def _forward_ops(theta, problem, A, B, cfg):
                                   ortho=cfg.lanczos_ortho,
                                   check_every=cfg.lanczos_check_every,
                                   polish=cfg.polish,
+                                  polish_spare=cfg.polish_spare,
                                   sweep=cfg.lanczos_sweep)
     else:
         res = lanczos_solve(A, B, factor, cfg.sigma, cfg.N, cfg.m,

@@ -523,7 +523,7 @@ def polish_ritz_block(A, B, factor, lam, Phi, sigma, mode, deflate=None,
 def block_lanczos_solve(A, B, factor, sigma, N, m, p, mode="normal",
                         seed=12345, v0=None, deflate=None, axis=None,
                         tol=None, check_every=1,
-                        ortho="full", polish=0,
+                        ortho="full", polish=0, polish_spare=0,
                         sweep="exact") -> LanczosResult:
     """Block shift-invert Lanczos: p Krylov vectors advance per factor apply.
 
@@ -840,9 +840,27 @@ def block_lanczos_solve(A, B, factor, sigma, N, m, p, mode="normal",
     eig_res = jnp.sqrt(jnp.sum((Rblk @ Ylast) ** 2, axis=0))
 
     if polish:
-        lam, Phi = polish_ritz_block(A, B, factor, lam, Phi, sigma, mode,
-                                     deflate=deflate, axis=axis,
-                                     nsteps=polish)
+        spare = min(int(polish_spare), mtot - N) if polish_spare else 0
+        if spare > 0:
+            # Polish an EXTENDED Ritz block: subspace iteration contracts
+            # the error in direction j by (lam_sel - sigma)/(lam_j - sigma)
+            # per step, so for errors in the NEARBY directions just above
+            # lam_N the plain block barely contracts (~0.6/step at 1M DOF).
+            # Carrying `spare` extra Ritz vectors moves the contraction
+            # boundary to lam_{N+spare+1}; the selected N are then read off
+            # the re-extraction. Matters chiefly for sweep="approx", whose
+            # subspace error is not confined to high frequencies.
+            sel_e = order[:N + spare]
+            lam_e = lam_all[sel_e]
+            Phi_e = dd_dot_rowsT(V[:mtot], Y[:, sel_e])
+            lam_e, Phi_e = polish_ritz_block(A, B, factor, lam_e, Phi_e,
+                                             sigma, mode, deflate=deflate,
+                                             axis=axis, nsteps=polish)
+            lam, Phi = lam_e[:N], Phi_e[:, :N]
+        else:
+            lam, Phi = polish_ritz_block(A, B, factor, lam, Phi, sigma,
+                                         mode, deflate=deflate, axis=axis,
+                                         nsteps=polish)
 
     zeros_m = jnp.zeros(mtot, dtype=dtype)
     return LanczosResult(
