@@ -410,9 +410,9 @@ def lanczos_solve(A, B, factor, sigma, N, m, mode="normal", seed=12345,
     eig_res = jnp.abs(beta[last] * Y0[last, :])
     Phi = V[:m].T @ Y0
     if polish:
-        lam, Phi = polish_ritz_block(A, B, factor, lam, Phi, sigma, mode,
-                                     deflate=deflate, axis=axis,
-                                     nsteps=polish)
+        lam, Phi, eig_res = polish_ritz_block(A, B, factor, lam, Phi,
+                                              sigma, mode, deflate=deflate,
+                                              axis=axis, nsteps=polish)
 
     return LanczosResult(
         lam=lam,
@@ -484,8 +484,15 @@ def polish_ritz_block(A, B, factor, lam, Phi, sigma, mode, deflate=None,
     vectors never accumulate a noise floor; this is the TPU-native
     equivalent correction, applied once at extraction instead of per cycle.
 
-    Returns (lam, Phi) with Phi B-orthonormal and lam the pencil Rayleigh
-    quotients of the polished block, ordered by the mode's sort rule.
+    Returns (lam, Phi, eig_res) with Phi B-orthonormal, lam the pencil
+    Rayleigh quotients of the polished block ordered by the mode's sort
+    rule, and eig_res the MEASURED per-mode pencil residual
+    ||A phi - lam B phi|| of the returned pairs (nearly free: the final
+    step's A Z and B Z blocks are already in hand). Callers that polish
+    should prefer this over the block-Lanczos coupling bound — under
+    sweep="approx" the bound measures convergence to the inexactly
+    applied operator and can understate the true residual by orders of
+    magnitude (ADVICE r1).
     """
     A = as_operator(A)
     B = as_operator(B)
@@ -500,10 +507,12 @@ def polish_ritz_block(A, B, factor, lam, Phi, sigma, mode, deflate=None,
 
     from .jacobi import eigh_accurate
 
+    Wsel = None
     for _ in range(nsteps):
         Z = factor.mv(B.mv(Phi))  # (n, N); same filter in every mode
         Z, BZ, _ = b_qr_tall(defl(Z), B.mv, axis=axis)
-        Hp = dd_dot(Z.T, A.mv(Z), axis)  # (N, N); Z^T B Z = I
+        AZ = A.mv(Z)
+        Hp = dd_dot(Z.T, AZ, axis)  # (N, N); Z^T B Z = I
         Hp = 0.5 * (Hp + Hp.T)
         mu, Wp = eigh_accurate(Hp)  # pencil Rayleigh quotients A phi = mu B phi
         if mode == "buckling":
@@ -516,8 +525,17 @@ def polish_ritz_block(A, B, factor, lam, Phi, sigma, mode, deflate=None,
             lamp = mu  # pencil eigenvalue IS lam in normal/cayley modes
             order = jnp.argsort(mu)
         lam = lamp[order]
-        Phi = Z @ Wp[:, order]
-    return lam, Phi
+        Wsel = Wp[:, order]
+        mu_sel = mu[order]
+        Phi = Z @ Wsel
+    # measured pencil residual of the returned pairs: A phi - mu B phi =
+    # (AZ) w - (BZ) w mu — two thin GEMMs on blocks already in HBM
+    R = AZ @ Wsel - (BZ @ Wsel) * mu_sel[None, :]
+    r2 = jnp.sum(R * R, axis=0)
+    if axis is not None:
+        r2 = jax.lax.psum(r2, axis)
+    eig_res = jnp.sqrt(r2)
+    return lam, Phi, eig_res
 
 
 def block_lanczos_solve(A, B, factor, sigma, N, m, p, mode="normal",
@@ -853,14 +871,14 @@ def block_lanczos_solve(A, B, factor, sigma, N, m, p, mode="normal",
             sel_e = order[:N + spare]
             lam_e = lam_all[sel_e]
             Phi_e = dd_dot_rowsT(V[:mtot], Y[:, sel_e])
-            lam_e, Phi_e = polish_ritz_block(A, B, factor, lam_e, Phi_e,
-                                             sigma, mode, deflate=deflate,
-                                             axis=axis, nsteps=polish)
-            lam, Phi = lam_e[:N], Phi_e[:, :N]
+            lam_e, Phi_e, res_e = polish_ritz_block(
+                A, B, factor, lam_e, Phi_e, sigma, mode, deflate=deflate,
+                axis=axis, nsteps=polish)
+            lam, Phi, eig_res = lam_e[:N], Phi_e[:, :N], res_e[:N]
         else:
-            lam, Phi = polish_ritz_block(A, B, factor, lam, Phi, sigma,
-                                         mode, deflate=deflate, axis=axis,
-                                         nsteps=polish)
+            lam, Phi, eig_res = polish_ritz_block(
+                A, B, factor, lam, Phi, sigma, mode, deflate=deflate,
+                axis=axis, nsteps=polish)
 
     zeros_m = jnp.zeros(mtot, dtype=dtype)
     return LanczosResult(

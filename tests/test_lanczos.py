@@ -433,12 +433,18 @@ class TestRitzPolish:
                     / np.linalg.norm(np.asarray(A @ Phi), axis=0))
 
         rn0 = rel_res(lam_ref[:N], Phi0)
-        lam, Phi = polish_ritz_block(A, B, factor, jnp.asarray(lam_ref[:N]),
+        lam, Phi, _ = polish_ritz_block(A, B, factor,
+                                        jnp.asarray(lam_ref[:N]),
                                      Phi0, 0.0, "normal")
         rn1 = rel_res(lam, Phi)
-        lam2, Phi2 = polish_ritz_block(A, B, factor,
-                                       jnp.asarray(lam_ref[:N]), Phi0, 0.0,
-                                       "normal", nsteps=2)
+        lam2, Phi2, res2 = polish_ritz_block(A, B, factor,
+                                             jnp.asarray(lam_ref[:N]), Phi0,
+                                             0.0, "normal", nsteps=2)
+        # the returned eig_res is the MEASURED pencil residual
+        R2 = np.asarray(A @ Phi2) - np.asarray(B @ Phi2) * np.asarray(lam2)
+        np.testing.assert_allclose(np.asarray(res2),
+                                   np.linalg.norm(R2, axis=0),
+                                   rtol=1e-6, atol=1e-14)
         rn2 = rel_res(lam2, Phi2)
         # per-step damping = the shift-invert gain ratio
         # max(lam_sel - sigma)/min(lam_noise - sigma) ~ 4/50 here; steps
