@@ -20,6 +20,9 @@ import jax
 import jax.numpy as jnp
 
 jax.config.update("jax_enable_x64", True)
+if os.environ.get("CRM_FORCE_CPU"):
+    # the axon preset ignores JAX_PLATFORMS=cpu; both knobs are required
+    jax.config.update("jax_platforms", "cpu")
 
 NSPAN = int(os.environ.get("CRM_NSPAN", 112))
 NCHORD = int(os.environ.get("CRM_NCHORD", 16))
