@@ -7,6 +7,11 @@ finite differences.
 
 Sizes: nspan=112, nchord=16, nheight=8 -> b = 6*17*9 = 918,
 nvars = 113*918 = 103,734 DOF (>= the 100k bar; reference config #5 path).
+
+Measured (r2, 2026-08-17, CPU 1 core, CRM_FORCE_CPU=1): freq[0]=7.563 Hz,
+steady solve 148.5 s + adjoint 51.6 s, thickness-gradient FD check
+rel err 1.384e-06 at h=1e-5 — the station-padded BCR factor + modal
+compliance adjoint verify at >=100k DOF.
 """
 import os
 import sys
