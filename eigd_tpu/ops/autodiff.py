@@ -18,6 +18,7 @@ reference's dAdx/dBdx callbacks (:33-182).
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Callable
 
@@ -357,7 +358,13 @@ def staged_value_and_grad(pre, tail, problem: EigProblem,
         res = _dc.replace(res, BV=None)
         return res
 
-    @partial(jax.jit, donate_argnums=(1,))
+    # EIGD_STAGED_NO_DONATE=1 keeps res alive across the seam — a
+    # diagnostic lever for the 1M-DOF miscompile hunt: if the corruption
+    # is a buffer-aliasing bug (donated V reused while a fused V-cycle
+    # still reads it), disabling donation fixes it where barriers cannot.
+    _donate = () if os.environ.get("EIGD_STAGED_NO_DONATE") else (1,)
+
+    @partial(jax.jit, donate_argnums=_donate)
     def bwd_prog(x, res):
         theta, pre_vjp = jax.vjp(pre, x)
         A, B, factor = _rebuild(theta)
