@@ -64,11 +64,16 @@ def make_topo():
     fo = ({"rtol": 1e-11, "approx_rtol": APPROX_RTOL,
            "approx_maxiter": APPROX_MAXITER,
            "stag_bad": int(os.environ.get("EIGD_BENCH_STAG", 2)),
-           # V-cycle implementation: "barrier" pins the smoother matvecs
-           # behind optimization_barrier — mitigation for the XLA:TPU
-           # large-program V-cycle miscompile observed at 1M DOF (see
-           # ops/multigrid.py GridMGFactor._vcycle).
-           "vcycle": os.environ.get("EIGD_BENCH_VCYCLE", "plain")}
+           # V-cycle implementation: the f32 V-cycle subgraph is
+           # deterministically miscompiled by XLA:TPU inside the large
+           # forward program at ~1M DOF (apply EXPANDS ~22x in-context vs
+           # 0.027 out-of-context, same factor bits; barriers don't fix
+           # it). Measured r2: vcycle="f64" restores the exact spectrum
+           # (true pencil residuals ~1e-6 at 1M DOF) at ~2x V-cycle cost,
+           # so it is the default above the corruption threshold.
+           "vcycle": os.environ.get(
+               "EIGD_BENCH_VCYCLE",
+               "f64" if 2 * (NX + 1) * (NY + 1) >= 500_000 else "plain")}
           if FACTOR == "mg" else {"tol": 1e-11})
     # lanczos_polish=1: one shift-invert subspace-iteration step on the
     # selected Ritz block (one extra accurate factor apply). Without it the
