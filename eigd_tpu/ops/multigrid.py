@@ -42,6 +42,34 @@ from .stencil import stencil_matvec
 # ---------------------------------------------------------------------------
 
 
+def prolong_planes(g, nxc, nyc):
+    """Bilinear interpolation coarse -> fine in channel-plane layout:
+    g is (ndof, k, nxc+1, nyc+1); see ``prolong`` for the vector-layout
+    semantics."""
+    nxf, nyf = 2 * nxc, 2 * nyc
+    lead = g.shape[:2]
+    gi = jnp.zeros(lead + (nxf + 1, nyc + 1), dtype=g.dtype)
+    gi = gi.at[:, :, 0::2].set(g)
+    gi = gi.at[:, :, 1::2].set(0.5 * (g[:, :, :-1] + g[:, :, 1:]))
+    gf = jnp.zeros(lead + (nxf + 1, nyf + 1), dtype=g.dtype)
+    gf = gf.at[:, :, :, 0::2].set(gi)
+    gf = gf.at[:, :, :, 1::2].set(0.5 * (gi[:, :, :, :-1] + gi[:, :, :, 1:]))
+    return gf
+
+
+def restrict_planes(g, nxc, nyc):
+    """Exact transpose of ``prolong_planes``; g is (ndof, k, 2nxc+1, 2nyc+1)."""
+    odd_j = g[:, :, :, 1::2]
+    gj = g[:, :, :, 0::2] + 0.5 * (
+        jnp.pad(odd_j, ((0, 0), (0, 0), (0, 0), (0, 1)))
+        + jnp.pad(odd_j, ((0, 0), (0, 0), (0, 0), (1, 0))))
+    odd_i = gj[:, :, 1::2]
+    gc = gj[:, :, 0::2] + 0.5 * (
+        jnp.pad(odd_i, ((0, 0), (0, 0), (0, 1), (0, 0)))
+        + jnp.pad(odd_i, ((0, 0), (0, 0), (1, 0), (0, 0))))
+    return gc
+
+
 def prolong(xc, nxc, nyc, ndof):
     """Bilinear interpolation coarse -> fine; xc is (nc,) or (nc, k).
 
@@ -222,6 +250,30 @@ def cheb_smooth(W, dinv, lmax, x, b, nx, ny, ndof, degree=3,
     return x
 
 
+def cheb_smooth_planes(mv, dinvp, lmax, x, b, degree=3, lo_frac=0.25):
+    """Chebyshev smoother in channel-plane layout; ``mv`` is the level
+    matvec on (ndof, k, X, Y) planes, ``dinvp`` the Jacobi diagonal inverse
+    as (ndof, 1, X, Y). ``x=None`` means a zero initial iterate (skips the
+    first matvec)."""
+    lmin = lo_frac * lmax
+    lmax = 1.02 * lmax
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    sigma1 = theta / delta
+    rho = 1.0 / sigma1
+
+    r = b if x is None else b - mv(x)
+    d = dinvp * r / theta
+    x = d if x is None else x + d
+    for _ in range(degree - 1):
+        rho_new = 1.0 / (2.0 * sigma1 - rho)
+        r = b - mv(x)
+        d = rho_new * rho * d + (2.0 * rho_new / delta) * (dinvp * r)
+        x = x + d
+        rho = rho_new
+    return x
+
+
 # ---------------------------------------------------------------------------
 # The factor
 # ---------------------------------------------------------------------------
@@ -239,12 +291,13 @@ class GridMGFactor:
 
     def __init__(self, Ws, dinvs, lmaxs, coarse_inv, W64, shapes, ndof,
                  degree=3, rtol=1e-13, maxiter=60, approx_rtol=1e-5,
-                 approx_maxiter=18, stag_bad=2, vcycle="plain"):
+                 approx_maxiter=18, stag_bad=2, vcycle="plain", Wps=None):
         self.Ws = tuple(Ws)  # f32 stencils, fine -> coarse
         self.dinvs = tuple(dinvs)
         self.lmaxs = tuple(lmaxs)
         self.coarse_inv = coarse_inv  # (nc, nc) dense inverse, f32
         self.W64 = W64  # fine stencil, f64 (or None for f32-only problems)
+        self.Wps = None if Wps is None else tuple(Wps)  # pallas planes
         self.shapes = tuple(tuple(s) for s in shapes)  # [(nx, ny), ...]
         self.ndof = ndof
         self.degree = degree
@@ -255,12 +308,21 @@ class GridMGFactor:
         self.stag_bad = stag_bad  # consecutive plateau iterations before
         # the PCG stagnation exit fires; large value = exit on tol/maxiter
         # only
-        # V-cycle implementation variant (miscompile mitigations, r2 hunt):
-        #   "plain"   — straight-line recursion (fastest when XLA is honest)
+        # V-cycle implementation variant:
+        #   "pallas"  — channel-plane-layout V-cycle with the Pallas stencil
+        #               kernel for every f32 level matvec (measured 33x the
+        #               XLA matvec at 1M DOF). Doubles as the miscompile
+        #               fix: pallas_call is opaque to XLA fusion, so the
+        #               V-cycle cannot be cross-fused into the enclosing
+        #               program (the r2 1M-DOF corruption mechanism).
+        #               Falls back to interpret mode off-TPU.
+        #   "plain"   — straight-line XLA recursion
         #   "barrier" — optimization_barrier around every smoother matvec
-        #               and V-cycle stage edge
+        #               and V-cycle stage edge (miscompile mitigation)
         #   "f64"     — run the whole V-cycle in f64 (different program
-        #               shape; ~2x the V-cycle cost)
+        #               shape; ~2x the V-cycle cost; miscompile mitigation)
+        #   "auto"    — "pallas" on TPU, "plain" elsewhere (resolved in
+        #               ``build``)
         self.vcycle = vcycle
 
     # -- construction -------------------------------------------------------
@@ -270,6 +332,8 @@ class GridMGFactor:
               rtol=1e-13, maxiter=60, approx_rtol=1e-5, approx_maxiter=18,
               stag_bad=2, vcycle="plain"):
         """W: fine-level stencil (f64 or f32) of the SPD shifted operator."""
+        if vcycle == "auto":
+            vcycle = "pallas" if jax.default_backend() == "tpu" else "plain"
         W64 = W if W.dtype == jnp.float64 else None
         Wl = W.astype(jnp.float32)
         nx, ny = grid_shape
@@ -312,10 +376,16 @@ class GridMGFactor:
         eye = jnp.eye(Ac.shape[0], dtype=Ac.dtype)
         Linv = solve_triangular(L, eye, lower=True)
         coarse_inv = Linv.T @ Linv
+        Wps = None
+        if vcycle == "pallas":
+            from .pallas_stencil import stencil_planes
+
+            # coarsest level excluded: it is solved densely, never matvec'd
+            Wps = tuple(stencil_planes(Wl_, ndof) for Wl_ in Ws[:-1])
         return cls(Ws, dinvs, lmaxs, coarse_inv, W64, shapes, ndof,
                    degree=degree, rtol=rtol, maxiter=maxiter,
                    approx_rtol=approx_rtol, approx_maxiter=approx_maxiter,
-                   stag_bad=stag_bad, vcycle=vcycle)
+                   stag_bad=stag_bad, vcycle=vcycle, Wps=Wps)
 
     # -- V-cycle -------------------------------------------------------------
 
@@ -350,6 +420,53 @@ class GridMGFactor:
         x = x + prolong(xc, nx // 2, ny // 2, self.ndof)
         return cheb_smooth(W, dinv, lmax, x, b, nx, ny, self.ndof,
                            degree=self.degree, barrier=barrier)
+
+    @staticmethod
+    def _pallas_interpret():
+        # trace-time backend check: real Mosaic kernels on TPU, interpreter
+        # everywhere else (CPU tests / virtual meshes)
+        return jax.default_backend() != "tpu"
+
+    def _dinv_planes(self, lvl):
+        nx, ny = self.shapes[lvl]
+        return self.dinvs[lvl].reshape(nx + 1, ny + 1,
+                                       self.ndof).transpose(2, 0, 1)[:, None]
+
+    def _vcycle_planes(self, lvl, b, interpret):
+        """One f32 V-cycle in channel-plane layout ((ndof, k, X, Y)) with
+        Pallas level matvecs; b enters/leaves in plane layout."""
+        from .pallas_stencil import from_planes, matvec_planes, to_planes
+
+        nx, ny = self.shapes[lvl]
+        if lvl == len(self.Ws) - 1:
+            bf = from_planes(b, nx, ny, self.ndof)
+            return to_planes(self.coarse_inv @ bf, nx, ny, self.ndof)
+        Wp, lmax = self.Wps[lvl], self.lmaxs[lvl]
+        dinvp = self._dinv_planes(lvl)
+
+        def mv(xq):
+            return matvec_planes(Wp, xq, nx, ny, self.ndof,
+                                 interpret=interpret)
+
+        x = cheb_smooth_planes(mv, dinvp, lmax, None, b, degree=self.degree)
+        r = b - mv(x)
+        xc = self._vcycle_planes(lvl + 1,
+                                 restrict_planes(r, nx // 2, ny // 2),
+                                 interpret)
+        x = x + prolong_planes(xc, nx // 2, ny // 2)
+        return cheb_smooth_planes(mv, dinvp, lmax, x, b, degree=self.degree)
+
+    def _apply_vcycle32(self, r):
+        """One f32 V-cycle preconditioner apply on (n, k) vector-layout r,
+        dispatching on the configured implementation variant."""
+        if self.vcycle == "pallas":
+            from .pallas_stencil import from_planes, to_planes
+
+            nx, ny = self.shapes[0]
+            rq = to_planes(r.astype(jnp.float32), nx, ny, self.ndof)
+            zq = self._vcycle_planes(0, rq, self._pallas_interpret())
+            return from_planes(zq, nx, ny, self.ndof)
+        return self._vcycle(0, r.astype(jnp.float32))
 
     # -- PCG drivers ----------------------------------------------------------
 
@@ -390,10 +507,17 @@ class GridMGFactor:
             # the whole-eigensolve "wrong nearby spectrum" failure. The
             # barriers pin the V-cycle's inputs/outputs so its computation
             # cannot be cross-fused with the surrounding loop body.
-            pdt = jnp.float64 if (self.vcycle == "f64"
-                                  and dtype == jnp.float64) else jnp.float32
-            rp = jax.lax.optimization_barrier(r.astype(pdt))
-            zp = jax.lax.optimization_barrier(self._vcycle(0, rp))
+            if self.vcycle == "pallas":
+                # pallas_call is already a fusion barrier; the explicit
+                # barriers stay to pin the layout conversions with it
+                rp = jax.lax.optimization_barrier(r)
+                zp = jax.lax.optimization_barrier(self._apply_vcycle32(rp))
+            else:
+                pdt = jnp.float64 if (self.vcycle == "f64"
+                                      and dtype == jnp.float64
+                                      ) else jnp.float32
+                rp = jax.lax.optimization_barrier(r.astype(pdt))
+                zp = jax.lax.optimization_barrier(self._vcycle(0, rp))
             z = zp.astype(dtype)
             rz = jnp.sum(r * z, axis=0)
             ok = rz > 0.0
@@ -453,6 +577,13 @@ class GridMGFactor:
 
     def _matvec32(self, x):
         nx, ny = self.shapes[0]
+        if self.vcycle == "pallas":
+            from .pallas_stencil import from_planes, matvec_planes, to_planes
+
+            yq = matvec_planes(self.Wps[0], to_planes(x, nx, ny, self.ndof),
+                               nx, ny, self.ndof,
+                               interpret=self._pallas_interpret())
+            return from_planes(yq, nx, ny, self.ndof)
         return stencil_matvec(self.Ws[0], x, nx, ny, self.ndof)
 
     @property
@@ -512,7 +643,7 @@ class GridMGFactor:
         squeeze = x.ndim == 1
         if squeeze:
             x = x[:, None]
-        y = self._vcycle(0, x.astype(jnp.float32)).astype(
+        y = self._apply_vcycle32(x).astype(
             jnp.float64 if self.W64 is not None else jnp.float32)
         if squeeze:
             y = y[:, 0]
@@ -523,7 +654,7 @@ class GridMGFactor:
 
     def tree_flatten(self):
         children = (self.Ws, self.dinvs, self.lmaxs, self.coarse_inv,
-                    self.W64)
+                    self.W64, self.Wps)
         aux = (self.shapes, self.ndof, self.degree, self.rtol, self.maxiter,
                self.approx_rtol, self.approx_maxiter, self.stag_bad,
                self.vcycle)
@@ -531,10 +662,10 @@ class GridMGFactor:
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        Ws, dinvs, lmaxs, coarse_inv, W64 = children
+        Ws, dinvs, lmaxs, coarse_inv, W64, Wps = children
         (shapes, ndof, degree, rtol, maxiter, approx_rtol, approx_maxiter,
          stag_bad, vcycle) = aux
         return cls(Ws, dinvs, lmaxs, coarse_inv, W64, shapes, ndof,
                    degree=degree, rtol=rtol, maxiter=maxiter,
                    approx_rtol=approx_rtol, approx_maxiter=approx_maxiter,
-                   stag_bad=stag_bad, vcycle=vcycle)
+                   stag_bad=stag_bad, vcycle=vcycle, Wps=Wps)

@@ -93,14 +93,15 @@ class TestFactorSolve:
         xd = np.linalg.solve(dense, np.asarray(b))
         assert np.allclose(x, xd, rtol=0, atol=1e-10 * np.abs(xd).max())
 
-    @pytest.mark.parametrize("variant", ["barrier", "f64"])
+    @pytest.mark.parametrize("variant", ["barrier", "f64", "pallas"])
     def test_vcycle_variants_match_plain(self, grid_problem, variant):
-        """The miscompile-mitigation V-cycle variants ("barrier" pins every
+        """The V-cycle implementation variants ("barrier" pins every
         smoother matvec behind optimization_barrier, "f64" runs all levels
-        in f64) are the same math: solves agree with the plain variant to
-        the solver tolerance, and the one-V-cycle preconditioner output
-        agrees to f32 roundoff (barriers/f64 change fusion and therefore
-        rounding, never the math)."""
+        in f64, "pallas" runs the plane-layout Pallas-kernel V-cycle — the
+        interpreter off-TPU) are the same math: solves agree with the plain
+        variant to the solver tolerance, and the one-V-cycle preconditioner
+        output agrees to f32 roundoff (fusion and layout change rounding,
+        never the math)."""
         nx, ny, mesh, K, M, W, dense = grid_problem
         fac0 = GridMGFactor.build(W, (nx, ny), 2, min_coarse=64)
         facv = GridMGFactor.build(W, (nx, ny), 2, min_coarse=64,
@@ -114,8 +115,11 @@ class TestFactorSolve:
 
         z0 = np.asarray(jax.jit(fac0._vcycle, static_argnums=0)(
             0, b.astype(jnp.float32)))
-        bv = b if variant == "f64" else b.astype(jnp.float32)
-        zv = np.asarray(jax.jit(facv._vcycle, static_argnums=0)(0, bv))
+        if variant == "pallas":
+            zv = np.asarray(jax.jit(facv._apply_vcycle32)(b))
+        else:
+            bv = b if variant == "f64" else b.astype(jnp.float32)
+            zv = np.asarray(jax.jit(facv._vcycle, static_argnums=0)(0, bv))
         assert np.allclose(zv, z0, rtol=0, atol=1e-4 * np.abs(z0).max())
 
     def test_approx_mv_quality(self, grid_problem):
