@@ -61,7 +61,8 @@ def make_topo():
     # burned the full 5-round sibk budget against the mixed ladder's
     # ~1e-2/round contraction floor at this size; 1e-9 + the self-
     # calibrating round exits keep the FD check at ~1e-6 for half the cost
-    fo = ({"rtol": 1e-11, "approx_rtol": APPROX_RTOL,
+    fo = ({"rtol": float(os.environ.get("EIGD_BENCH_RTOL", 1e-11)),
+           "approx_rtol": APPROX_RTOL,
            "approx_maxiter": APPROX_MAXITER,
            "stag_bad": int(os.environ.get("EIGD_BENCH_STAG", 2)),
            # V-cycle implementation: the f32 V-cycle subgraph is

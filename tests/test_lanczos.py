@@ -492,7 +492,10 @@ class TestApproxSweep:
     def test_matches_exact_sweep_and_fd(self):
         from eigd_tpu.models.natural_frequency import make_model
 
-        kw = dict(nx=16, ny=8, N=4, m=64, Lx=2.0, Ly=1.0, rfact=2.0,
+        # smallest config that still exercises the approx sweep + polish
+        # recovery (block degree m/p = 12 >= 2N+2 spare): suite-hygiene
+        # shrink from 16x8/m=64 (171 s -> ~60 s on the 1-core CI host)
+        kw = dict(nx=12, ny=6, N=3, m=48, Lx=2.0, Ly=1.0, rfact=2.0,
                   factor_kind="mg", lanczos_block=4, lanczos_ortho="local",
                   factor_options={"min_coarse": 64})
         topo_e = make_model(lanczos_tol=1e-11, lanczos_polish=1, **kw)
