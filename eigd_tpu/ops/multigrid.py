@@ -291,13 +291,15 @@ class GridMGFactor:
 
     def __init__(self, Ws, dinvs, lmaxs, coarse_inv, W64, shapes, ndof,
                  degree=3, rtol=1e-13, maxiter=60, approx_rtol=1e-5,
-                 approx_maxiter=18, stag_bad=2, vcycle="plain", Wps=None):
+                 approx_maxiter=18, stag_bad=2, vcycle="plain", Wps=None,
+                 Wdd=None):
         self.Ws = tuple(Ws)  # f32 stencils, fine -> coarse
         self.dinvs = tuple(dinvs)
         self.lmaxs = tuple(lmaxs)
         self.coarse_inv = coarse_inv  # (nc, nc) dense inverse, f32
         self.W64 = W64  # fine stencil, f64 (or None for f32-only problems)
         self.Wps = None if Wps is None else tuple(Wps)  # pallas planes
+        self.Wdd = Wdd  # dd-split fine stencil planes (pallas f64 matvec)
         self.shapes = tuple(tuple(s) for s in shapes)  # [(nx, ny), ...]
         self.ndof = ndof
         self.degree = degree
@@ -377,15 +379,22 @@ class GridMGFactor:
         Linv = solve_triangular(L, eye, lower=True)
         coarse_inv = Linv.T @ Linv
         Wps = None
+        Wdd = None
         if vcycle == "pallas":
-            from .pallas_stencil import stencil_planes
+            from .pallas_stencil import stencil_planes, stencil_planes_dd
 
             # coarsest level excluded: it is solved densely, never matvec'd
             Wps = tuple(stencil_planes(Wl_, ndof) for Wl_ in Ws[:-1])
+            if W64 is not None:
+                # dd-split fine stencil: the outer-PCG f64 residual matvec
+                # runs on the compensated f32 Pallas kernel (~1e-12
+                # backward error) instead of XLA's emulated f64 (measured
+                # 21.9 ms -> see dd_stencil_matvec)
+                Wdd = stencil_planes_dd(W64, ndof)
         return cls(Ws, dinvs, lmaxs, coarse_inv, W64, shapes, ndof,
                    degree=degree, rtol=rtol, maxiter=maxiter,
                    approx_rtol=approx_rtol, approx_maxiter=approx_maxiter,
-                   stag_bad=stag_bad, vcycle=vcycle, Wps=Wps)
+                   stag_bad=stag_bad, vcycle=vcycle, Wps=Wps, Wdd=Wdd)
 
     # -- V-cycle -------------------------------------------------------------
 
@@ -573,6 +582,11 @@ class GridMGFactor:
 
     def _matvec64(self, x):
         nx, ny = self.shapes[0]
+        if self.Wdd is not None:
+            from .pallas_stencil import dd_stencil_matvec
+
+            return dd_stencil_matvec(self.Wdd, x, nx, ny, self.ndof,
+                                     interpret=self._pallas_interpret())
         return stencil_matvec(self.W64, x, nx, ny, self.ndof)
 
     def _matvec32(self, x):
@@ -619,8 +633,13 @@ class GridMGFactor:
             y, info = self._pcg(x.astype(jnp.float32), self._matvec32,
                                 max(self.rtol, 1e-6), self.maxiter)
         else:
+            # the dd residual matvec has a ~1e-12 backward-error floor;
+            # don't gate the PCG below it (the stagnation exit would fire
+            # anyway, but this keeps reported convergence honest)
+            rtol_eff = (max(self.rtol, 1e-12) if self.Wdd is not None
+                        else self.rtol)
             y, info = self._pcg(x.astype(jnp.float64), self._matvec64,
-                                self.rtol, self.maxiter)
+                                rtol_eff, self.maxiter)
         if squeeze:
             y = y[:, 0]
         return y, info
@@ -654,7 +673,7 @@ class GridMGFactor:
 
     def tree_flatten(self):
         children = (self.Ws, self.dinvs, self.lmaxs, self.coarse_inv,
-                    self.W64, self.Wps)
+                    self.W64, self.Wps, self.Wdd)
         aux = (self.shapes, self.ndof, self.degree, self.rtol, self.maxiter,
                self.approx_rtol, self.approx_maxiter, self.stag_bad,
                self.vcycle)
@@ -662,10 +681,10 @@ class GridMGFactor:
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        Ws, dinvs, lmaxs, coarse_inv, W64, Wps = children
+        Ws, dinvs, lmaxs, coarse_inv, W64, Wps, Wdd = children
         (shapes, ndof, degree, rtol, maxiter, approx_rtol, approx_maxiter,
          stag_bad, vcycle) = aux
         return cls(Ws, dinvs, lmaxs, coarse_inv, W64, shapes, ndof,
                    degree=degree, rtol=rtol, maxiter=maxiter,
                    approx_rtol=approx_rtol, approx_maxiter=approx_maxiter,
-                   stag_bad=stag_bad, vcycle=vcycle, Wps=Wps)
+                   stag_bad=stag_bad, vcycle=vcycle, Wps=Wps, Wdd=Wdd)

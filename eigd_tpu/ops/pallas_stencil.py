@@ -156,3 +156,151 @@ def pallas_stencil_matvec(Wp, x, nx, ny, ndof, TX=8, interpret=False):
     if squeeze:
         out = out[:, 0]
     return out
+
+
+# ---------------------------------------------------------------------------
+# Double-float (dd) stencil matvec: f64-quality residuals at f32 VPU rate
+# ---------------------------------------------------------------------------
+#
+# XLA:TPU emulates every f64 elementwise op in software; the f64 stencil
+# matvec (the residual of GridMGFactor's outer PCG and the refinement
+# operator of RefinedFactor) measures 21.9 ms at 1M DOF k=8 — the largest
+# single term of a factor apply once the V-cycle runs on the f32 kernel.
+# This kernel computes the same product to ~1e-13 backward error with pure
+# f32 VPU arithmetic:
+#
+# * W64 is pre-split at build (``stencil_planes_dd``) into three f32 plane
+#   sets: W1 + W2 = f32(W64) with 12-bit mantissa halves (Dekker split, so
+#   products with 12-bit operands are EXACT in f32) and Wl = f32(W64 -
+#   f32(W64)).
+# * x is split per call into xh1 + xh2 = f32(x) (12-bit halves) and
+#   xl = f32(x - f32(x)).
+# * Per stencil term the kernel forms the exact high product x1*w1 and the
+#   mid group (w1*x2 + w2*x1 + w2*x2 + wh*xl + wl*xh), and accumulates both
+#   into a running compensated (s, c) f32 pair — one branch-free 2Sum per
+#   group. The kernel returns BOTH planes; the wrapper combines them in
+#   f64, so the result carries ~2*eps32^2 + a few*eps32*2^-12 ~ 1e-11
+#   relative backward error (vs 6e-8 for a plain f32 product).
+#
+# The 2Sum algebra relies on IEEE f32 add/sub without reassociation —
+# XLA/Mosaic do not reassociate float ops, same contract the Dekker-split
+# dd GEMMs in ops/collective.py already depend on.
+
+
+def stencil_planes_dd(W64, ndof):
+    """f64 stencil -> (3*9*ndof^2, X, Y) f32 split planes [W1 | W2 | Wl]."""
+    Wh = W64.astype(jnp.float32)
+    c = Wh * jnp.float32(4097.0)  # 2^12 + 1 Dekker split constant
+    W1 = c - (c - Wh)
+    W2 = Wh - W1
+    Wl = (W64 - Wh.astype(jnp.float64)).astype(jnp.float32)
+    return jnp.concatenate([stencil_planes(W1, ndof),
+                            stencil_planes(W2, ndof),
+                            stencil_planes(Wl, ndof)], axis=0)
+
+
+def _dd_kernel(xm_ref, x0_ref, xp_ref, w_ref, s_ref, c_ref, *, ndof, k, Y):
+    """Compensated dd stencil matvec on one row tile.
+
+    xm/x0/xp: (3*ndof*k, TX, Y+2) row-shifted slabs stacking [xh1 | xh2 |
+    xl] along the channel dim; w: (3*9*ndof^2, TX, Y) split stencil planes;
+    s/c: (ndof*k, TX, Y) compensated-sum output pair.
+    """
+    C = ndof * k
+    NT = 9 * ndof * ndof
+    refs = {-1: xm_ref, 0: x0_ref, 1: xp_ref}
+    acc_s = [None] * ndof
+    acc_c = [None] * ndof
+
+    def dd_add(s, c, t):
+        if s is None:
+            return t, jnp.zeros_like(t)
+        z = s + t
+        bb = z - s
+        e = (s - (z - bb)) + (t - bb)
+        return z, c + e
+
+    for di in (-1, 0, 1):
+        xr = refs[di]
+        for b in range(ndof):
+            x1_0 = xr[pl.ds(b * k, k), :, :]            # (k, TX, Y+2)
+            x2_0 = xr[pl.ds(C + b * k, k), :, :]
+            xl_0 = xr[pl.ds(2 * C + b * k, k), :, :]
+            for dj in (-1, 0, 1):
+                sl = slice(1 + dj, 1 + dj + Y)
+                x1 = x1_0[:, :, sl]
+                x2 = x2_0[:, :, sl]
+                xl = xl_0[:, :, sl]
+                xh = x1 + x2  # exact: the halves recombine without rounding
+                for a in range(ndof):
+                    t = (3 * (di + 1) + (dj + 1)) * ndof * ndof + a * ndof + b
+                    w1 = w_ref[t, :, :][None, :, :]
+                    w2 = w_ref[NT + t, :, :][None, :, :]
+                    wl = w_ref[2 * NT + t, :, :][None, :, :]
+                    hi = w1 * x1  # exact (12-bit x 12-bit mantissas)
+                    mid = ((w1 * x2 + w2 * x1) + w2 * x2
+                           + ((w1 + w2) * xl + wl * xh))
+                    acc_s[a], acc_c[a] = dd_add(acc_s[a], acc_c[a], hi)
+                    acc_s[a], acc_c[a] = dd_add(acc_s[a], acc_c[a], mid)
+    for a in range(ndof):
+        s_ref[pl.ds(a * k, k), :, :] = acc_s[a]
+        c_ref[pl.ds(a * k, k), :, :] = acc_c[a]
+
+
+def dd_stencil_matvec(Wdd, x, nx, ny, ndof, TX=8, interpret=False):
+    """y = A x with A's f64 stencil pre-split by ``stencil_planes_dd``;
+    x is (n, k) f64, the result is f64 with ~1e-11 relative backward error.
+
+    k is capped at 8 per kernel call (VMEM: the slabs carry 3 split
+    components); larger blocks are processed in column chunks.
+    """
+    k = x.shape[1]
+    if k > 8:
+        return jnp.concatenate(
+            [dd_stencil_matvec(Wdd, x[:, i:i + 8], nx, ny, ndof, TX=TX,
+                               interpret=interpret)
+             for i in range(0, k, 8)], axis=1)
+    X, Y = nx + 1, ny + 1
+    XR = -(-X // TX) * TX
+    C = ndof * k
+
+    xh = x.astype(jnp.float32)
+    cs = xh * jnp.float32(4097.0)
+    x1 = cs - (cs - xh)
+    x2 = xh - x1
+    xl = (x - xh.astype(jnp.float64)).astype(jnp.float32)
+    # stacked split slabs (3C, X, Y), then padded like the f32 kernel
+    xq = jnp.concatenate(
+        [to_planes(x1, nx, ny, ndof).reshape(C, X, Y),
+         to_planes(x2, nx, ny, ndof).reshape(C, X, Y),
+         to_planes(xl, nx, ny, ndof).reshape(C, X, Y)], axis=0)
+    xpad = jnp.pad(xq, ((0, 0), (1, 1 + XR - X), (1, 1)))
+    x_m1 = xpad[:, 0:XR, :]
+    x_0 = xpad[:, 1:1 + XR, :]
+    x_p1 = xpad[:, 2:2 + XR, :]
+    Wpp = jnp.pad(Wdd, ((0, 0), (0, XR - X), (0, 0)))
+
+    NT = 9 * ndof * ndof
+    kern = functools.partial(_dd_kernel, ndof=ndof, k=k, Y=Y)
+    imap = lambda i: (jnp.int32(0), i, jnp.int32(0))  # noqa: E731
+    s, c = pl.pallas_call(
+        kern,
+        grid=(XR // TX,),
+        in_specs=[
+            pl.BlockSpec((3 * C, TX, Y + 2), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * C, TX, Y + 2), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * C, TX, Y + 2), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * NT, TX, Y), imap, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((C, TX, Y), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, TX, Y), imap, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((C, XR, Y), jnp.float32),
+                   jax.ShapeDtypeStruct((C, XR, Y), jnp.float32)],
+        interpret=interpret,
+    )(x_m1, x_0, x_p1, Wpp)
+
+    yq = (s[:, :X, :].astype(jnp.float64)
+          + c[:, :X, :].astype(jnp.float64)).reshape(ndof, k, X, Y)
+    return from_planes(yq, nx, ny, ndof)
