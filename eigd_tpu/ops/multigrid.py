@@ -332,8 +332,17 @@ class GridMGFactor:
     @classmethod
     def build(cls, W, grid_shape, ndof, min_coarse=2048, degree=3,
               rtol=1e-13, maxiter=60, approx_rtol=1e-5, approx_maxiter=18,
-              stag_bad=2, vcycle="plain"):
-        """W: fine-level stencil (f64 or f32) of the SPD shifted operator."""
+              stag_bad=2, vcycle="plain", dd=True):
+        """W: fine-level stencil (f64 or f32) of the SPD shifted operator.
+
+        ``dd`` (pallas variant only): run the outer-PCG f64 residual matvec
+        on the compensated double-float Pallas kernel (~1e-14 relative
+        backward error per matvec) instead of XLA's software-emulated f64
+        (~21.9 ms at 1M DOF). The dd floor times the shifted operator's
+        condition number bounds the achievable apply accuracy — irrelevant
+        at production rtol (1e-11), but for tiny ill-conditioned problems
+        needing 1e-13 applies pass dd=False.
+        """
         if vcycle == "auto":
             vcycle = "pallas" if jax.default_backend() == "tpu" else "plain"
         W64 = W if W.dtype == jnp.float64 else None
@@ -385,7 +394,7 @@ class GridMGFactor:
 
             # coarsest level excluded: it is solved densely, never matvec'd
             Wps = tuple(stencil_planes(Wl_, ndof) for Wl_ in Ws[:-1])
-            if W64 is not None:
+            if W64 is not None and dd:
                 # dd-split fine stencil: the outer-PCG f64 residual matvec
                 # runs on the compensated f32 Pallas kernel (~1e-12
                 # backward error) instead of XLA's emulated f64 (measured
@@ -636,7 +645,7 @@ class GridMGFactor:
             # the dd residual matvec has a ~1e-12 backward-error floor;
             # don't gate the PCG below it (the stagnation exit would fire
             # anyway, but this keeps reported convergence honest)
-            rtol_eff = (max(self.rtol, 1e-12) if self.Wdd is not None
+            rtol_eff = (max(self.rtol, 2e-13) if self.Wdd is not None
                         else self.rtol)
             y, info = self._pcg(x.astype(jnp.float64), self._matvec64,
                                 rtol_eff, self.maxiter)

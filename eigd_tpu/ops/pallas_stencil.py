@@ -175,12 +175,15 @@ def pallas_stencil_matvec(Wp, x, nx, ny, ndof, TX=8, interpret=False):
 #   f32(W64)).
 # * x is split per call into xh1 + xh2 = f32(x) (12-bit halves) and
 #   xl = f32(x - f32(x)).
-# * Per stencil term the kernel forms the exact high product x1*w1 and the
-#   mid group (w1*x2 + w2*x1 + w2*x2 + wh*xl + wl*xh), and accumulates both
-#   into a running compensated (s, c) f32 pair — one branch-free 2Sum per
-#   group. The kernel returns BOTH planes; the wrapper combines them in
-#   f64, so the result carries ~2*eps32^2 + a few*eps32*2^-12 ~ 1e-11
-#   relative backward error (vs 6e-8 for a plain f32 product).
+# * Per stencil term the kernel forms the four EXACT half products (12-bit
+#   x 12-bit mantissas) plus the two small cross terms with the low parts,
+#   and accumulates every product into a running compensated (s, c) f32
+#   pair — one branch-free 2Sum each. The kernel returns BOTH planes; the
+#   wrapper combines them in f64, so the result carries ~1e-13 relative
+#   backward error (vs 6e-8 for a plain f32 product). Plain-adding the mid
+#   products before the 2Sum was measured to floor at ~1e-11, which is too
+#   coarse for the rtol=1e-13 factor applies the small-scale gradient
+#   checks rely on.
 #
 # The 2Sum algebra relies on IEEE f32 add/sub without reassociation —
 # XLA/Mosaic do not reassociate float ops, same contract the Dekker-split
@@ -237,11 +240,14 @@ def _dd_kernel(xm_ref, x0_ref, xp_ref, w_ref, s_ref, c_ref, *, ndof, k, Y):
                     w1 = w_ref[t, :, :][None, :, :]
                     w2 = w_ref[NT + t, :, :][None, :, :]
                     wl = w_ref[2 * NT + t, :, :][None, :, :]
-                    hi = w1 * x1  # exact (12-bit x 12-bit mantissas)
-                    mid = ((w1 * x2 + w2 * x1) + w2 * x2
-                           + ((w1 + w2) * xl + wl * xh))
-                    acc_s[a], acc_c[a] = dd_add(acc_s[a], acc_c[a], hi)
-                    acc_s[a], acc_c[a] = dd_add(acc_s[a], acc_c[a], mid)
+                    # four exact half products (12-bit x 12-bit mantissas);
+                    # the low cross terms round at ~eps32^2 of the term, so
+                    # their plain add is harmless — every other product
+                    # goes through its own 2Sum
+                    terms = (w1 * x1, w1 * x2, w2 * x1, w2 * x2,
+                             (w1 + w2) * xl + wl * xh)
+                    for tm in terms:
+                        acc_s[a], acc_c[a] = dd_add(acc_s[a], acc_c[a], tm)
     for a in range(ndof):
         s_ref[pl.ds(a * k, k), :, :] = acc_s[a]
         c_ref[pl.ds(a * k, k), :, :] = acc_c[a]
@@ -251,15 +257,17 @@ def dd_stencil_matvec(Wdd, x, nx, ny, ndof, TX=8, interpret=False):
     """y = A x with A's f64 stencil pre-split by ``stencil_planes_dd``;
     x is (n, k) f64, the result is f64 with ~1e-11 relative backward error.
 
-    k is capped at 8 per kernel call (VMEM: the slabs carry 3 split
-    components); larger blocks are processed in column chunks.
+    k is capped at 4 per kernel call (VMEM: the slabs carry 3 split
+    components and the output is an (s, c) pair; k=8 measured 18.2 MB of
+    scoped VMEM at 1M DOF — over the 16 MB limit); larger blocks are
+    processed in column chunks.
     """
     k = x.shape[1]
-    if k > 8:
+    if k > 4:
         return jnp.concatenate(
-            [dd_stencil_matvec(Wdd, x[:, i:i + 8], nx, ny, ndof, TX=TX,
+            [dd_stencil_matvec(Wdd, x[:, i:i + 4], nx, ny, ndof, TX=TX,
                                interpret=interpret)
-             for i in range(0, k, 8)], axis=1)
+             for i in range(0, k, 4)], axis=1)
     X, Y = nx + 1, ny + 1
     XR = -(-X // TX) * TX
     C = ndof * k
