@@ -34,12 +34,12 @@ NY = int(os.environ.get("EIGD_BENCH_NY", 256))
 N_MODES = 6
 BLOCK = 8  # forward Lanczos block size: 8 Krylov vectors per factor apply
 M_LANCZOS = BLOCK * 22  # adaptive exit typically stops around 14-17 blocks
-# Factor selection: the block-cyclic-reduction direct factor wins while its
-# O(nx * b^2) storage fits HBM (measured 4.98 s vs 14.4 s for mg at 263k
-# DOF); the O(n)-memory multigrid factor is the only one that fits 1M DOF
-# on a 16 GB chip. Override with EIGD_BENCH_FACTOR.
-_default_factor = "bcr_f32" if 2 * (NX + 1) * (NY + 1) < 500_000 else "mg"
-FACTOR = os.environ.get("EIGD_BENCH_FACTOR", _default_factor)
+# Factor selection: the O(n)-memory multigrid factor now wins at every
+# size (measured r2: 3.77 s vs 4.98 s for bcr_f32 at 263k DOF once the
+# V-cycle smoothers were tuned) and is the only factor that fits 1M DOF on
+# a 16 GB chip. Override with EIGD_BENCH_FACTOR (bcr_f32 remains the
+# direct-factor cross-check).
+FACTOR = os.environ.get("EIGD_BENCH_FACTOR", "mg")
 SIGMA = float(os.environ.get("EIGD_BENCH_SIGMA", -10.0))
 ORTHO = os.environ.get("EIGD_BENCH_ORTHO", "local")
 APPROX_RTOL = float(os.environ.get("EIGD_BENCH_APPROX_RTOL", 1e-5))
@@ -69,12 +69,17 @@ def make_topo():
            # deterministically miscompiled by XLA:TPU inside the large
            # forward program at ~1M DOF (apply EXPANDS ~22x in-context vs
            # 0.027 out-of-context, same factor bits; barriers don't fix
-           # it). Measured r2: vcycle="f64" restores the exact spectrum
-           # (true pencil residuals ~1e-6 at 1M DOF) at ~2x V-cycle cost,
-           # so it is the default above the corruption threshold.
+           # it). The Pallas plane-layout V-cycle sidesteps the miscompile
+           # (pallas_call is opaque to XLA fusion) AND is the fastest
+           # variant: with the dd-split f64 residual matvec it measured
+           # 24.6 s full fwd+bwd at 1M DOF vs 60.2 s for vcycle="f64"
+           # (the miscompile-safe pure-XLA fallback). Default it above the
+           # corruption threshold; "plain" stays default below, where the
+           # fused f32 V-cycle is correct and compile time is lower.
            "vcycle": os.environ.get(
                "EIGD_BENCH_VCYCLE",
-               "f64" if 2 * (NX + 1) * (NY + 1) >= 500_000 else "plain")}
+               "pallas" if 2 * (NX + 1) * (NY + 1) >= 500_000
+               else "plain")}
           if FACTOR == "mg" else {"tol": 1e-11})
     # lanczos_polish=1: one shift-invert subspace-iteration step on the
     # selected Ritz block (one extra accurate factor apply). Without it the

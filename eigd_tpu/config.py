@@ -41,6 +41,17 @@ if not os.environ.get("EIGD_TPU_NO_COMPILE_CACHE"):
                         break
         except OSError:  # pragma: no cover - non-Linux
             pass
+        # Partition cpu-pinned processes into their own cache: XLA:CPU AOT
+        # entries compiled inside a TPU-attached (axon) process embed
+        # tuning pseudo-features (+prefer-no-scatter/+prefer-no-gather)
+        # that a cpu-pinned process on the SAME host refuses to load
+        # ("could lead to execution errors such as SIGILL") — observed as
+        # silently wrong numerics, not crashes. TPU-attached processes
+        # keep the unsuffixed dir (it holds the expensive TPU compiles).
+        plats = (os.environ.get("JAX_PLATFORMS")
+                 or os.environ.get("JAX_PLATFORM_NAME") or "")
+        if plats and "axon" not in plats and "tpu" not in plats:
+            tag += "_" + plats
         return tag
 
     _cache_dir = os.environ.get(
@@ -50,7 +61,12 @@ if not os.environ.get("EIGD_TPU_NO_COMPILE_CACHE"):
     try:
         os.makedirs(_cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # Threshold 0: the test suite's compile cost is hundreds of SMALL
+        # XLA:CPU compiles (~50 ms each, measured via cProfile — 355 in one
+        # multigrid test alone); a 0.5 s floor caches none of them. Lookup
+        # overhead is ~1 ms/entry, so caching everything is a strict win on
+        # this 1-core host.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:  # pragma: no cover - cache is best-effort
         pass
 
