@@ -71,15 +71,10 @@ def make_topo():
            # 0.027 out-of-context, same factor bits; barriers don't fix
            # it). The Pallas plane-layout V-cycle sidesteps the miscompile
            # (pallas_call is opaque to XLA fusion) AND is the fastest
-           # variant: with the dd-split f64 residual matvec it measured
-           # 24.6 s full fwd+bwd at 1M DOF vs 60.2 s for vcycle="f64"
-           # (the miscompile-safe pure-XLA fallback). Default it above the
-           # corruption threshold; "plain" stays default below, where the
-           # fused f32 V-cycle is correct and compile time is lower.
-           "vcycle": os.environ.get(
-               "EIGD_BENCH_VCYCLE",
-               "pallas" if 2 * (NX + 1) * (NY + 1) >= 500_000
-               else "plain")}
+           # variant at EVERY size: 24.6 s vs 60.2 s (vcycle="f64") full
+           # fwd+bwd at 1M DOF, and 4.91 s vs 7.84 s over "plain" at 263k
+           # DOF (measured r2, bit-identical objective values).
+           "vcycle": os.environ.get("EIGD_BENCH_VCYCLE", "pallas")}
           if FACTOR == "mg" else {"tol": 1e-11})
     # lanczos_polish=1: one shift-invert subspace-iteration step on the
     # selected Ritz block (one extra accurate factor apply). Without it the
@@ -296,14 +291,17 @@ def main():
     log(f"efficiency estimate: MFU {mfu * 100:.2f}%, effective HBM BW "
         f"{bw * 100:.1f}% of peak (memory-bound workload: BW is the "
         "relevant roofline)")
-    try:
-        t0 = time.perf_counter()
-        base_time, lam = cpu_baseline()
-        log(f"CPU baseline: {base_time:.1f}s (total incl assembly "
-            f"{time.perf_counter() - t0:.1f}s), lam[3:]={lam[3:6]}")
-    except Exception as e:  # pragma: no cover
-        log(f"CPU baseline failed: {e}")
+    if os.environ.get("EIGD_BENCH_NO_BASELINE"):
         base_time = float("nan")
+    else:
+        try:
+            t0 = time.perf_counter()
+            base_time, lam = cpu_baseline()
+            log(f"CPU baseline: {base_time:.1f}s (total incl assembly "
+                f"{time.perf_counter() - t0:.1f}s), lam[3:]={lam[3:6]}")
+        except Exception as e:  # pragma: no cover
+            log(f"CPU baseline failed: {e}")
+            base_time = float("nan")
     n_dof = 2 * (NX + 1) * (NY + 1)
     prog = ("staged fwd/bwd jits" if getattr(tpu_run, "staged", False)
             else "monolithic jit")

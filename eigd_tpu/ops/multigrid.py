@@ -332,7 +332,7 @@ class GridMGFactor:
     @classmethod
     def build(cls, W, grid_shape, ndof, min_coarse=2048, degree=3,
               rtol=1e-13, maxiter=60, approx_rtol=1e-5, approx_maxiter=18,
-              stag_bad=2, vcycle="plain", dd=True):
+              stag_bad=2, vcycle="auto", dd=True):
         """W: fine-level stencil (f64 or f32) of the SPD shifted operator.
 
         ``dd`` (pallas variant only): run the outer-PCG f64 residual matvec
