@@ -64,6 +64,7 @@ def make_topo():
     fo = ({"rtol": float(os.environ.get("EIGD_BENCH_RTOL", 1e-11)),
            "approx_rtol": APPROX_RTOL,
            "approx_maxiter": APPROX_MAXITER,
+           "degree": int(os.environ.get("EIGD_BENCH_MG_DEGREE", 3)),
            "stag_bad": int(os.environ.get("EIGD_BENCH_STAG", 2)),
            # V-cycle implementation: the f32 V-cycle subgraph is
            # deterministically miscompiled by XLA:TPU inside the large
