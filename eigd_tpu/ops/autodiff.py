@@ -74,6 +74,11 @@ class EighGenConfig:
     # of the adjoint's mixed ladder. Requires polish >= 1 to be useful; the
     # factor's accurate mv is then applied only polish times instead of
     # once per block step. Block path only (block > 1).
+    pallas_mv: str = "auto"  # attach Pallas split-plane stencil forms to
+    # grid operators at the solver boundary (_pallas_ops): solver-side f64
+    # A.mv/B.mv then run on the compensated double-float kernel instead of
+    # XLA's software-emulated f64. "auto" = on the TPU backend only; "off"
+    # disables; "on" forces (tests use interpret-mode kernels directly).
 
 
 # ---------------------------------------------------------------------------
@@ -225,7 +230,27 @@ def eigh_gen(theta, problem: EigProblem, cfg: EighGenConfig):
     return lam, Phi
 
 
+def _pallas_ops(A, B, cfg):
+    """Solver-boundary operator enhancement (TPU): attach the Pallas
+    split-plane stencil forms so every solver-side ``mv`` (Lanczos B
+    products, sibk/pcpg residual matvecs, laa projections) runs on the
+    compensated double-float kernel at f32 VPU rate. The differentiable
+    assemble path is untouched — the ``bilinear`` closures in the VJPs
+    re-assemble plain operators, so jax.grad never traces a pallas_call.
+    """
+    on = (jax.default_backend() == "tpu" if cfg.pallas_mv == "auto"
+          else cfg.pallas_mv == "on")
+    if not on:
+        return A, B
+    if hasattr(A, "with_pallas") and getattr(A, "Wdd", None) is None:
+        A = A.with_pallas()
+    if hasattr(B, "with_pallas") and getattr(B, "Wdd", None) is None:
+        B = B.with_pallas()
+    return A, B
+
+
 def _forward_ops(theta, problem, A, B, cfg):
+    A, B = _pallas_ops(A, B, cfg)
     if problem.factor is not None:
         factor = problem.factor(A, B, cfg.sigma, cfg.mode)
     else:
@@ -261,6 +286,9 @@ def _forward_ops(theta, problem, A, B, cfg):
 
 def _eigh_gen_fwd(theta, problem, cfg):
     A, B = problem.assemble(theta)
+    # enhance BEFORE saving so the reverse pass (sibk/pcpg residual
+    # matvecs) also runs on the dd-Pallas stencil kernels
+    A, B = _pallas_ops(A, B, cfg)
     lam, Phi, (res, factor) = _forward_ops(theta, problem, A, B, cfg)
     # Slim the saved state: the reverse pass (laa guess + Krylov adjoint +
     # correction) reads res.V / Ys / theta / lam / Phi but never res.BV —
@@ -341,6 +369,7 @@ def staged_value_and_grad(pre, tail, problem: EigProblem,
 
     def _rebuild(theta):
         A, B = problem.assemble(theta)
+        A, B = _pallas_ops(A, B, cfg)
         if problem.factor is not None:
             factor = problem.factor(A, B, cfg.sigma, cfg.mode)
         else:

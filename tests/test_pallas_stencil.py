@@ -60,6 +60,36 @@ class TestPallasStencil:
                  * np.abs(np.asarray(W)).max())
         assert np.abs(got - ref).max() < 1e-11 * scale
 
+    def test_operator_with_pallas_dispatch(self):
+        """GridStencilOperator.with_pallas: f64 inputs route to the dd
+        kernel, f32 inputs to the f32 kernel, both matching the XLA
+        stencil matvec (the solver-boundary enhancement of
+        ops/autodiff._pallas_ops)."""
+        from eigd_tpu.ops.stencil import GridStencilOperator
+
+        nx, ny = 16, 8
+        W, n = _plane_stress_W(nx, ny)
+        mesh = make_grid(nx, ny, 2.0, 1.0)
+        dofs = fem.element_dof_map(jnp.asarray(mesh.conn))
+        op = GridStencilOperator(None, dofs, n, W, (nx, ny), 2)
+        fast = op.with_pallas(interpret=True)
+        assert fast.Wdd is not None and fast.Wps is not None
+        rng = np.random.default_rng(9)
+        x = jnp.asarray(rng.standard_normal((n, 6)))
+        ref = np.asarray(op.mv(x))
+        got = np.asarray(fast.mv(x))
+        scale = np.abs(ref).max()
+        assert np.abs(got - ref).max() < 1e-10 * scale
+        # (n,) f64 squeeze path
+        got1 = np.asarray(fast.mv(x[:, 0]))
+        assert np.abs(got1 - ref[:, 0]).max() < 1e-10 * scale
+        # f32 path
+        x32 = x.astype(jnp.float32)
+        ref32 = np.asarray(stencil_matvec(W.astype(jnp.float32), x32,
+                                          nx, ny, 2))
+        got32 = np.asarray(fast.mv(x32))
+        assert np.abs(got32 - ref32).max() < 1e-4 * scale
+
     def test_thermal_ndof1(self):
         nx, ny = 12, 10
         mesh = make_grid(nx, ny, 1.0, 1.0)
