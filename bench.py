@@ -94,7 +94,14 @@ def make_topo():
                                                   150)),
                     "mixed": True}
     else:
-        adj_opts = {"maxiter": 60, "nrestart": 5, "mixed": True}
+        adj_opts = {"maxiter": int(os.environ.get("EIGD_BENCH_ADJ_MAXITER",
+                                                  60)),
+                    "nrestart": int(os.environ.get("EIGD_BENCH_NRESTART",
+                                                   5)),
+                    "mixed": True,
+                    # "precond": ONE raw V-cycle per ladder step instead of
+                    # an f32 PCG solve (see adj.sibk ladder param)
+                    "ladder": os.environ.get("EIGD_BENCH_LADDER", "approx")}
     return make_model(nx=NX, ny=NY, Lx=2.0, Ly=1.0, N=N_MODES, rfact=2.0,
                       m=M_LANCZOS, factor_kind=FACTOR, lanczos_tol=1e-11,
                       lanczos_block=BLOCK, lanczos_ortho=ORTHO,

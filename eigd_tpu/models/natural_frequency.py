@@ -111,6 +111,7 @@ class TopologyAnalysis:
             lanczos_ortho=lanczos_ortho,
             lanczos_check_every=lanczos_check_every,
             adjoint_mixed=adjoint_options.get("mixed", False),
+            adjoint_ladder=adjoint_options.get("ladder", "approx"),
             polish=lanczos_polish, polish_spare=lanczos_polish_spare,
             lanczos_sweep=lanczos_sweep)
         # Scalable path: never densify — block-tridiagonal Cholesky of the

@@ -74,6 +74,7 @@ class ThermalTopologyAnalysis:
             lanczos_tol=lanczos_tol, block=lanczos_block,
             lanczos_ortho=lanczos_ortho,
             adjoint_mixed=adjoint_options.get("mixed", False),
+            adjoint_ladder=adjoint_options.get("ladder", "approx"),
             polish=lanczos_polish)
 
         # Scalable path for structured grids: stencil matvecs (ndof=1) and a

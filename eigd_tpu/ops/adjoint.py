@@ -344,7 +344,7 @@ def _solve_shifted_lstsq(alpha, H0, r):
 def sibk(Phib, A, B, lam, Phi, mode="normal", psi=None, sigma=None,
          factor=None, rtol=1e-10, atol=1e-30, eig_atol=1e-5, maxiter=50,
          nrestart=2, check_every=3, bs_target=None, update_guess=None,
-         callback=None, axis=None, mixed=False):
+         callback=None, axis=None, mixed=False, ladder="approx"):
     """Shift-invert block Krylov adjoint solver.
 
     TPU-native redesign of reference :1052-1328. The reference advances the N
@@ -429,7 +429,18 @@ def sibk(Phib, A, B, lam, Phi, mode="normal", psi=None, sigma=None,
 
     ldt = jnp.float32 if (mixed and dtype == jnp.float64) else dtype
     lcast = (lambda x: x.astype(ldt)) if ldt != dtype else (lambda x: x)
-    approx = getattr(factor, "approx_mv", None) if ldt != dtype else None
+    # Mixed-ladder apply: "approx" = preconditioner-quality f32 PCG solve
+    # (~1e-5, ~10-18 V-cycles); "precond" = ONE raw V-cycle — ~10x cheaper
+    # per step, weaker per-round contraction. The batched lstsq minimizes
+    # the surrogate residual over whatever Krylov space the apply spans and
+    # the outer rounds restart on TRUE f64 residuals either way, so the
+    # choice trades steps-per-round against V-cycles-per-step.
+    approx = None
+    if ldt != dtype:
+        if ladder == "precond":
+            approx = getattr(factor, "precond_mv", None)
+        if approx is None:
+            approx = getattr(factor, "approx_mv", None)
     factor_lmv = approx if approx is not None else factor.mv
     Phi_l = lcast(Phi)
     BPhi_l = lcast(BPhi)

@@ -57,6 +57,10 @@ class EighGenConfig:
     axis: str = None
     block: int = 1  # forward Lanczos block size (p vectors per factor apply)
     adjoint_mixed: bool = False  # f32 SIBK ladder + f64 restarts (GMRES-IR)
+    adjoint_ladder: str = "approx"  # mixed-sibk per-step apply: "approx"
+    # (f32 PCG to ~1e-5) or "precond" (ONE raw V-cycle per step — ~10x
+    # cheaper, weaker per-round contraction; rounds restart on true
+    # residuals either way). See adj.sibk.
     lanczos_ortho: str = "full"  # "local": 3-term recurrence + Gram-RR
     lanczos_check_every: int = 1  # adaptive-exit check cadence (each check
     # is an (m, m) reduced eigh — ~50 ms of emulated f64 on TPU at m=176)
@@ -148,7 +152,8 @@ def solve_eig_adjoint(A, B, res, factor, lam_bar, Phi_bar, cfg,
             Phi_bar, A, B, res.lam, res.Phi, mode=cfg.mode, psi=psi0,
             sigma=res.sigma, factor=factor, rtol=cfg.adjoint_rtol,
             eig_atol=cfg.eig_atol, maxiter=cfg.adjoint_maxiter,
-            nrestart=cfg.nrestart, axis=cfg.axis, mixed=cfg.adjoint_mixed)
+            nrestart=cfg.nrestart, axis=cfg.axis, mixed=cfg.adjoint_mixed,
+            ladder=cfg.adjoint_ladder)
     elif cfg.adjoint_method == "pcpg":
         # adjoint_mixed: precondition with ONE f32 V-cycle (mg) or one f32
         # direct-factor apply instead of the exact f64 solve — CG supplies

@@ -518,6 +518,37 @@ class TestApproxSweep:
         assert rel < 5e-4, rel
 
 
+class TestPrecondLadder:
+    def test_sibk_precond_ladder_gradient(self):
+        """adjoint_options ladder='precond': the mixed sibk ladder advances
+        on ONE raw V-cycle per step (factor.precond_mv) instead of an f32
+        PCG solve; outer rounds restart on true f64 residuals, so the
+        gradient stays exact — only steps-per-round changes."""
+        from eigd_tpu.models.natural_frequency import make_model
+
+        kw = dict(nx=12, ny=6, N=3, m=48, Lx=2.0, Ly=1.0, rfact=2.0,
+                  factor_kind="mg", lanczos_block=4, lanczos_ortho="local",
+                  factor_options={"min_coarse": 64}, lanczos_tol=1e-11,
+                  lanczos_polish=1)
+
+        def grad_with(ladder):
+            topo = make_model(adjoint_options={"mixed": True,
+                                               "ladder": ladder,
+                                               "maxiter": 60,
+                                               "nrestart": 8}, **kw)
+
+            def f(x):
+                lam, Q, rho, rhoE = topo._solve_fn(x)
+                return jnp.sum(jnp.sqrt(lam)) + jnp.sum(Q[:6, :] ** 2)
+
+            return np.asarray(jax.grad(f)(jnp.asarray(topo.x)))
+
+        g_ref = grad_with("approx")  # FD-validated elsewhere (TestApproxSweep)
+        g_pre = grad_with("precond")
+        rel = np.abs(g_pre - g_ref).max() / np.abs(g_ref).max()
+        assert rel < 1e-6, rel
+
+
 class TestStagedValueAndGrad:
     def test_matches_fused_path(self):
         """staged_value_and_grad (two-program execution, the 1M-DOF
