@@ -21,12 +21,28 @@ def main():
         if cand in sys.argv:
             method = cand
 
-    # pilot solve with a robust (eigh) factor to locate the first BLF
-    pilot = make_buckling_model(nx=24, ny=12, N=4, sigma=1.0,
-                                factor_kind="eigh")
-    pilot.initialize()
-    sigma = float(0.9 * pilot.BLF[0])
-    print("first BLF estimate:", float(pilot.BLF[0]), " sigma:", sigma)
+    # Pilot: locate the first BLF on a 2x-coarser mesh with a dense
+    # generalized eigh (the buckling shift must sit BELOW BLF_1 — the
+    # recovery map lam = f(sigma, theta) is only valid there; BLF_1 is
+    # mesh-stable to ~1% here, and 0.8x adds margin). At production scale
+    # the same bootstrap runs on a coarse grid instead of densifying.
+    import scipy.linalg
+
+    from eigd_tpu.fem import assembly as fem
+
+    pilot = make_buckling_model(nx=12, ny=6, N=4, sigma=1.0)
+    rho = pilot.fltr.apply(pilot.x)
+    rhoE = fem.element_density(rho, pilot.conn)
+    Kr = np.asarray(pilot._stiffness_dense_reduced(rhoE))
+    fr = np.asarray(pilot.f)[np.asarray(pilot.free)]
+    u_full = np.zeros(pilot.nvars)
+    u_full[np.asarray(pilot.free)] = np.linalg.solve(Kr, fr)
+    Gr = np.asarray(pilot._stress_stiffness_dense_reduced(
+        jnp.asarray(rhoE), jnp.asarray(u_full)))
+    mu = np.sort(scipy.linalg.eigh(Gr, Kr, eigvals_only=True))
+    blf1 = float(-1.0 / mu[0])
+    sigma = 0.8 * blf1
+    print("coarse-mesh BLF_1 estimate:", blf1, " sigma:", sigma)
 
     topo = make_buckling_model(nx=24, ny=12, N=4, sigma=sigma,
                                adjoint_method=method)
