@@ -526,27 +526,36 @@ class TestPrecondLadder:
         gradient stays exact — only steps-per-round changes."""
         from eigd_tpu.models.natural_frequency import make_model
 
-        kw = dict(nx=12, ny=6, N=3, m=48, Lx=2.0, Ly=1.0, rfact=2.0,
-                  factor_kind="mg", lanczos_block=4, lanczos_ortho="local",
-                  factor_options={"min_coarse": 64}, lanczos_tol=1e-11,
-                  lanczos_polish=1)
+        from eigd_tpu.fem import assembly as fem
+        from eigd_tpu.models.natural_frequency import make_model
+        from eigd_tpu.ops import adjoint as adj
+        from eigd_tpu.ops.autodiff import _forward_ops
 
-        def grad_with(ladder):
-            topo = make_model(adjoint_options={"mixed": True,
-                                               "ladder": ladder,
-                                               "maxiter": 60,
-                                               "nrestart": 8}, **kw)
-
-            def f(x):
-                lam, Q, rho, rhoE = topo._solve_fn(x)
-                return jnp.sum(jnp.sqrt(lam)) + jnp.sum(Q[:6, :] ** 2)
-
-            return np.asarray(jax.grad(f)(jnp.asarray(topo.x)))
-
-        g_ref = grad_with("approx")  # FD-validated elsewhere (TestApproxSweep)
-        g_pre = grad_with("precond")
-        rel = np.abs(g_pre - g_ref).max() / np.abs(g_ref).max()
-        assert rel < 1e-6, rel
+        topo = make_model(nx=12, ny=6, N=3, m=48, Lx=2.0, Ly=1.0, rfact=2.0,
+                          factor_kind="mg", lanczos_block=4,
+                          lanczos_ortho="local",
+                          factor_options={"min_coarse": 64},
+                          lanczos_tol=1e-11, lanczos_polish=1)
+        rhoE = fem.element_density(topo.fltr.apply(jnp.asarray(topo.x)),
+                                   topo.conn)
+        A, B = topo._assemble(rhoE)
+        lam, Phi, (res, factor) = _forward_ops(rhoE, topo.problem, A, B,
+                                               topo.cfg)
+        Phib = jnp.asarray(
+            np.random.default_rng(0).standard_normal(Phi.shape))
+        psi0 = adj.laa(Phib, B, factor, res, b_ortho=True, approx=True)
+        psis = {}
+        for ladder in ("approx", "precond"):
+            psi, _, info = adj.sibk(Phib, A, B, lam, Phi, psi=psi0,
+                                    sigma=topo.cfg.sigma, factor=factor,
+                                    rtol=1e-12, maxiter=60, nrestart=8,
+                                    mixed=True, ladder=ladder)
+            assert np.all(np.asarray(info["res"]) < 1e-9), (ladder,
+                                                            info["res"])
+            psis[ladder] = np.asarray(psi)
+        rel = (np.abs(psis["precond"] - psis["approx"]).max()
+               / np.abs(psis["approx"]).max())
+        assert rel < 1e-8, rel
 
 
 class TestStagedValueAndGrad:
