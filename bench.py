@@ -44,7 +44,28 @@ SIGMA = float(os.environ.get("EIGD_BENCH_SIGMA", -10.0))
 ORTHO = os.environ.get("EIGD_BENCH_ORTHO", "local")
 APPROX_RTOL = float(os.environ.get("EIGD_BENCH_APPROX_RTOL", 1e-5))
 APPROX_MAXITER = int(os.environ.get("EIGD_BENCH_APPROX_MAXITER", 18))
-POLISH = int(os.environ.get("EIGD_BENCH_POLISH", 1))
+# Defaults (measured r2):
+# 1M DOF staged fwd+bwd:
+#   exact sweep + approx ladder:   24.63 s  (13.0 fwd + 11.6 bwd)
+#   + dd-Pallas solver matvecs:    15.90 s  (8.0 + 8.0), polish=2
+#   + approx sweep (fwd):           fwd 13.0 -> 6.4 (polish=1) / 8.0 (2)
+#   + precond ladder (bwd):        13.19 s  (8.0 + 5.2)  <- default
+# 263k DOF monolithic:
+#   exact sweep, polish=1:          4.91 s, FD rel 6.9e-4
+#   approx sweep + polish=2:        3.23 s, FD rel 7.6e-5  <- default
+#   (precond ladder does NOT win at 263k: 5.04 s — the reverse is small
+#   there and the extra rounds' true-residual overhead dominates)
+# The approx sweep needs polish=2 for gradient quality (FD rel 8e-3 at
+# polish=1 -> 2.6e-3 at 2 at 1M, h=1e-2).
+_BIG = 2 * (NX + 1) * (NY + 1) >= 500_000
+POLISH = int(os.environ.get("EIGD_BENCH_POLISH", 2))
+SWEEP = os.environ.get("EIGD_BENCH_SWEEP", "approx")
+LADDER = os.environ.get("EIGD_BENCH_LADDER",
+                        "precond" if _BIG else "approx")
+ADJ_MAXITER = int(os.environ.get("EIGD_BENCH_ADJ_MAXITER",
+                                 120 if LADDER == "precond" else 60))
+NRESTART = int(os.environ.get("EIGD_BENCH_NRESTART",
+                              8 if LADDER == "precond" else 5))
 
 
 def log(*a):
@@ -90,18 +111,13 @@ def make_topo():
     # cheaper (see ops/adjoint.py pcpg docstring).
     adj_method = os.environ.get("EIGD_BENCH_ADJOINT", "sibk")
     if adj_method == "pcpg":
-        adj_opts = {"maxiter": int(os.environ.get("EIGD_BENCH_ADJ_MAXITER",
-                                                  150)),
-                    "mixed": True}
+        adj_opts = {"maxiter": ADJ_MAXITER, "mixed": True}
     else:
-        adj_opts = {"maxiter": int(os.environ.get("EIGD_BENCH_ADJ_MAXITER",
-                                                  60)),
-                    "nrestart": int(os.environ.get("EIGD_BENCH_NRESTART",
-                                                   5)),
+        adj_opts = {"maxiter": ADJ_MAXITER, "nrestart": NRESTART,
                     "mixed": True,
                     # "precond": ONE raw V-cycle per ladder step instead of
                     # an f32 PCG solve (see adj.sibk ladder param)
-                    "ladder": os.environ.get("EIGD_BENCH_LADDER", "approx")}
+                    "ladder": LADDER}
     return make_model(nx=NX, ny=NY, Lx=2.0, Ly=1.0, N=N_MODES, rfact=2.0,
                       m=M_LANCZOS, factor_kind=FACTOR, lanczos_tol=1e-11,
                       lanczos_block=BLOCK, lanczos_ortho=ORTHO,
@@ -113,8 +129,7 @@ def make_topo():
                       adjoint_options=adj_opts,
                       # "approx": f32 preconditioner-quality forward sweep +
                       # polish accurate applies (see block_lanczos_solve)
-                      lanczos_sweep=os.environ.get("EIGD_BENCH_SWEEP",
-                                                   "exact"))
+                      lanczos_sweep=SWEEP)
 
 
 def tpu_run():
