@@ -40,7 +40,13 @@ M_LANCZOS = BLOCK * 22  # adaptive exit typically stops around 14-17 blocks
 # a 16 GB chip. Override with EIGD_BENCH_FACTOR (bcr_f32 remains the
 # direct-factor cross-check).
 FACTOR = os.environ.get("EIGD_BENCH_FACTOR", "mg")
-SIGMA = float(os.environ.get("EIGD_BENCH_SIGMA", -10.0))
+# sigma=-1: any sigma<0 keeps K-sigma*M SPD; -1 sits 10x closer to the
+# spectrum (lam_1 ~ 0.95) than the old -10, so the shift-invert gap ratios
+# are ~3x stronger per Krylov step — measured 263k 3.23->2.62 s and 1M
+# 13.19->11.94 s, with the FD check improving (2.6e-3 -> 2.7e-4 at 1M:
+# fewer blocks to the same subspace quality leaves less inexact-sweep
+# noise). The CPU baseline uses the same shift (cpu_baseline).
+SIGMA = float(os.environ.get("EIGD_BENCH_SIGMA", -1.0))
 ORTHO = os.environ.get("EIGD_BENCH_ORTHO", "local")
 APPROX_RTOL = float(os.environ.get("EIGD_BENCH_APPROX_RTOL", 1e-5))
 APPROX_MAXITER = int(os.environ.get("EIGD_BENCH_APPROX_MAXITER", 18))
@@ -266,7 +272,7 @@ def cpu_baseline():
                           shape=(n, n)).tocsc()
     M = sparse.coo_matrix((mats_M.reshape(-1), (rows, cols)),
                           shape=(n, n)).tocsc()
-    sigma = -10.0
+    sigma = SIGMA  # same shift as the TPU pipeline (fairness)
     lu = spla.splu((K - sigma * M).tocsc())
 
     def opinv(x):
