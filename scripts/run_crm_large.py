@@ -12,6 +12,10 @@ Measured (r2, 2026-08-17, CPU 1 core, CRM_FORCE_CPU=1): freq[0]=7.563 Hz,
 steady solve 148.5 s + adjoint 51.6 s, thickness-gradient FD check
 rel err 1.384e-06 at h=1e-5 — the station-padded BCR factor + modal
 compliance adjoint verify at >=100k DOF.
+
+Measured (r2, 2026-08-19, the real v5e chip): same frequencies
+(freq[0]=7.5633 Hz), steady solve 18.98 s + adjoint 6.91 s (7.8x/7.5x
+the CPU run), FD rel err 2.501e-07 at h=1e-5.
 """
 import os
 import sys
