@@ -41,7 +41,8 @@ class TopologyAnalysis:
                  lanczos_tol=None, lanczos_block=1, lanczos_ortho="full",
                  lanczos_check_every=1, uniform_grid=False,
                  factor_options=None, lanczos_polish=0,
-                 lanczos_polish_spare=0, lanczos_sweep="exact"):
+                 lanczos_polish_spare=0, lanczos_sweep="exact",
+                 pallas_mv="auto"):
         del solver_type, deriv_type  # single TPU-native solver; always batched
         self.fltr = fltr
         self.conn = jnp.asarray(np.asarray(conn))
@@ -113,7 +114,7 @@ class TopologyAnalysis:
             adjoint_mixed=adjoint_options.get("mixed", False),
             adjoint_ladder=adjoint_options.get("ladder", "approx"),
             polish=lanczos_polish, polish_spare=lanczos_polish_spare,
-            lanczos_sweep=lanczos_sweep)
+            lanczos_sweep=lanczos_sweep, pallas_mv=pallas_mv)
         # Scalable path: never densify — block-tridiagonal Cholesky of the
         # shifted element matrices using the grid line structure, with
         # matrix-free element-operator matvecs everywhere else.

@@ -82,7 +82,9 @@ class EighGenConfig:
     # grid operators at the solver boundary (_pallas_ops): solver-side f64
     # A.mv/B.mv then run on the compensated double-float kernel instead of
     # XLA's software-emulated f64. "auto" = on the TPU backend only; "off"
-    # disables; "on" forces (tests use interpret-mode kernels directly).
+    # disables; "on" forces; "interpret" forces with interpret-mode
+    # kernels so the CPU test suite executes the exact dispatch path the
+    # TPU runs (ADVICE r1: backend-gated kernels must not be CI-invisible).
 
 
 # ---------------------------------------------------------------------------
@@ -244,13 +246,14 @@ def _pallas_ops(A, B, cfg):
     re-assemble plain operators, so jax.grad never traces a pallas_call.
     """
     on = (jax.default_backend() == "tpu" if cfg.pallas_mv == "auto"
-          else cfg.pallas_mv == "on")
+          else cfg.pallas_mv in ("on", "interpret"))
     if not on:
         return A, B
+    interp = cfg.pallas_mv == "interpret"
     if hasattr(A, "with_pallas") and getattr(A, "Wdd", None) is None:
-        A = A.with_pallas()
+        A = A.with_pallas(interpret=interp)
     if hasattr(B, "with_pallas") and getattr(B, "Wdd", None) is None:
-        B = B.with_pallas()
+        B = B.with_pallas(interpret=interp)
     return A, B
 
 
