@@ -126,7 +126,8 @@ class CRM:
                  E=70e9, nu=0.3, rho=2700.0, t0=0.01, omega0=None,
                  adjoint_method="sibk", rtol=1e-10, eig_atol=1e-5,
                  factor_kind="bcr_f32", nribs=None, lanczos_polish=0,
-                 **mesh_kw):
+                 lanczos_block=1, lanczos_ortho="full",
+                 lanczos_sweep="exact", **mesh_kw):
         if nribs is None:
             nribs = max(3, nspan // 8)
         X, conn, comp, names = make_wingbox_mesh(nspan, nchord, nheight,
@@ -144,6 +145,9 @@ class CRM:
         self.m = m
         self.factor_kind = factor_kind
         self._lanczos_polish = lanczos_polish
+        self._lanczos_block = lanczos_block
+        self._lanczos_ortho = lanczos_ortho
+        self._lanczos_sweep = lanczos_sweep
         self.scalable = factor_kind.startswith(("bcr", "blocktridiag"))
 
         # --- station-padded DOF layout -----------------------------------
@@ -264,7 +268,9 @@ class CRM:
             N=self.N, m=self.m, sigma=float(self._sigma), mode="normal",
             adjoint_method=self.adjoint_method, adjoint_maxiter=60,
             adjoint_rtol=self.rtol * 1e-2, nrestart=2,
-            eig_atol=self.eig_atol, polish=self._lanczos_polish)
+            eig_atol=self.eig_atol, polish=self._lanczos_polish,
+            block=self._lanczos_block, lanczos_ortho=self._lanczos_ortho,
+            lanczos_sweep=self._lanczos_sweep)
 
     def _solve_fn(self, tcomp):
         lam, Qr = eigh_gen(tcomp, self.problem, self.cfg)

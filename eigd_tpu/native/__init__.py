@@ -18,9 +18,14 @@ _lib = None
 
 
 def _build():
+    # build to a process-unique temp path and move into place atomically so
+    # concurrent builders (e.g. parallel pytest workers) never load a
+    # half-written .so
     src = os.path.join(_HERE, "host_kernels.cpp")
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _SO, src]
+    tmp = f"{_SO}.{os.getpid()}.tmp"
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", tmp, src]
     subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(tmp, _SO)
 
 
 def _load():
