@@ -30,6 +30,8 @@ The factor is used inside the eigh_gen custom-VJP forward/reverse solves
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -42,6 +44,7 @@ from .stencil import stencil_matvec
 # ---------------------------------------------------------------------------
 
 
+@partial(jax.jit, static_argnums=(1, 2))
 def prolong_planes(g, nxc, nyc):
     """Bilinear interpolation coarse -> fine in channel-plane layout:
     g is (ndof, k, nxc+1, nyc+1); see ``prolong`` for the vector-layout
@@ -57,6 +60,7 @@ def prolong_planes(g, nxc, nyc):
     return gf
 
 
+@partial(jax.jit, static_argnums=(1, 2))
 def restrict_planes(g, nxc, nyc):
     """Exact transpose of ``prolong_planes``; g is (ndof, k, 2nxc+1, 2nyc+1)."""
     odd_j = g[:, :, :, 1::2]
@@ -70,6 +74,7 @@ def restrict_planes(g, nxc, nyc):
     return gc
 
 
+@partial(jax.jit, static_argnums=(1, 2, 3))
 def prolong(xc, nxc, nyc, ndof):
     """Bilinear interpolation coarse -> fine; xc is (nc,) or (nc, k).
 
@@ -97,6 +102,7 @@ def prolong(xc, nxc, nyc, ndof):
     return out
 
 
+@partial(jax.jit, static_argnums=(1, 2, 3))
 def restrict(yf, nxc, nyc, ndof):
     """Exact transpose of ``prolong`` (full weighting); yf on the fine grid."""
     squeeze = yf.ndim == 1

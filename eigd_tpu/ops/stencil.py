@@ -22,6 +22,8 @@ e = i + nx*j with corners [(i,j), (i+1,j), (i+1,j+1), (i,j+1)].
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -47,6 +49,7 @@ def stencil_from_elements(emats, nx, ny, ndof):
     return W
 
 
+@partial(jax.jit, static_argnums=(2, 3, 4))
 def stencil_matvec(W, x, nx, ny, ndof):
     """y = A x with the 9-point block stencil; x is (n,) or (n, k).
 
@@ -54,6 +57,13 @@ def stencil_matvec(W, x, nx, ny, ndof):
     multiply-adds: XLA's f64-emulation of small batched einsums is
     pathologically slow on TPU (measured ~20x), while plain elementwise
     f64 ops lower well.
+
+    jit-wrapped (inlined by XLA when called inside an enclosing jit) so the
+    ~170-indexing-op body is traced once per (shape, dtype) signature
+    instead of at every V-cycle trace site — the smoother unrolls mean a
+    single enclosing solve traces this function dozens of times, and the
+    fancy-indexing trace cost (~70 ms each) dominated suite/compile wall
+    time before caching.
     """
     squeeze = x.ndim == 1
     if squeeze:
