@@ -127,7 +127,8 @@ class CRM:
                  adjoint_method="sibk", rtol=1e-10, eig_atol=1e-5,
                  factor_kind="bcr_f32", nribs=None, lanczos_polish=0,
                  lanczos_block=1, lanczos_ortho="full",
-                 lanczos_sweep="exact", **mesh_kw):
+                 lanczos_sweep="exact", factor_jitter=1e-4,
+                 factor_tol=1e-12, factor_maxiter=200, **mesh_kw):
         if nribs is None:
             nribs = max(3, nspan // 8)
         X, conn, comp, names = make_wingbox_mesh(nspan, nchord, nheight,
@@ -144,6 +145,9 @@ class CRM:
             m = max(3 * N + 1, 60)
         self.m = m
         self.factor_kind = factor_kind
+        self.factor_jitter = factor_jitter
+        self.factor_tol = factor_tol
+        self.factor_maxiter = factor_maxiter
         self._lanczos_polish = lanczos_polish
         self._lanczos_block = lanczos_block
         self._lanczos_ortho = lanczos_ortho
@@ -235,20 +239,46 @@ class CRM:
 
     def _factor(self, A, B, sig, mode):
         from ..ops.blockfactor import (BCRFactor, BlockTridiagFactor,
-                                       RefinedFactor,
+                                       PCGFactor,
                                        block_tridiag_from_dof_groups)
 
         shifted = A.mats - sig * B.mats
-        D, E = block_tridiag_from_dof_groups(shifted, self.dofs, None,
-                                             self.nb, self.b)
         cls_ = (BCRFactor if self.factor_kind.startswith("bcr")
                 else BlockTridiagFactor)
         if not self.factor_kind.endswith("_f32"):
+            D, E = block_tridiag_from_dof_groups(shifted, self.dofs, None,
+                                                 self.nb, self.b)
             return cls_.from_blocks(D, E)
-        inner = cls_.from_blocks(D.astype(jnp.float32),
-                                 E.astype(jnp.float32))
+        # Mixed-precision path. Two measures keep the f32 station-block
+        # factor viable for thin shells (cond(K) passes 1/eps_f32 ~ 1.7e7,
+        # where an unscaled f32 Cholesky NaNs and plain refinement
+        # diverges):
+        #   1. symmetric equilibration S A S, S = diag(A)^{-1/2} — shell
+        #      rotation vs membrane DOF scales differ by ~1/t^2;
+        #   2. a relative diagonal jitter on the f32 blocks (factor_jitter,
+        #      Manteuffel shift) so the cyclic-reduction Schur complements
+        #      keep definiteness margin.
+        # The solve is f64 PCG (PCGFactor) — only needs the preconditioner
+        # SPD, unlike refinement's spectral-radius<1. Blocks are assembled
+        # directly in f32: at the ~1M-DOF flagship config the f64 D/E pair
+        # alone is ~15 GB — past HBM — while the element matrices stay f64
+        # for the PCG residual operator.
+        dd = jnp.diagonal(shifted, axis1=1, axis2=2)
+        diag = jnp.zeros(self.nvars, shifted.dtype).at[
+            self.dofs.reshape(-1)].add(dd.reshape(-1))
+        s = 1.0 / jnp.sqrt(jnp.where(diag <= 0.0, 1.0, diag))
+        se = s[self.dofs]
+        scaled = (shifted * se[:, :, None] * se[:, None, :]).astype(
+            jnp.float32)
+        D, E = block_tridiag_from_dof_groups(scaled, self.dofs, None,
+                                             self.nb, self.b)
+        if cls_ is BCRFactor:
+            inner = cls_.from_blocks(D, E, jitter=self.factor_jitter)
+        else:  # BlockTridiagFactor has no jitter (scan Cholesky)
+            inner = cls_.from_blocks(D, E)
         op = ElementOperator(shifted, self.dofs, self.nvars)
-        return RefinedFactor(inner, op)
+        return PCGFactor(inner, op, s, mask=self.free_mask,
+                         tol=self.factor_tol, maxiter=self.factor_maxiter)
 
     def _v0(self, theta):
         key = jax.random.PRNGKey(12345)

@@ -248,8 +248,22 @@ class BCRFactor:
         self.b = b
 
     @staticmethod
-    def _inv_spd(Dblocks):
-        """Batched SPD inverse via Cholesky (MXU-friendly)."""
+    def _inv_spd(Dblocks, jitter=0.0):
+        """Batched SPD inverse via Cholesky (MXU-friendly).
+
+        jitter > 0 adds a relative diagonal regularization
+        ``D + jitter * diag(D)`` before the Cholesky (Manteuffel shift).
+        An f32 Cholesky breaks down (NaN) once the effective condition
+        number approaches 1/eps_f32 ~ 1.7e7 — reached by thin-shell
+        problems (CRM wingbox: rotation vs membrane DOF scales) and
+        compounded by the cyclic-reduction Schur complements. The jittered
+        factor is only a *preconditioner* inside RefinedFactor, whose f64
+        refinement absorbs the O(jitter) perturbation at ~jitter
+        contraction per pass."""
+        if jitter:
+            diag = jnp.diagonal(Dblocks, axis1=1, axis2=2)
+            Dblocks = Dblocks + jax.vmap(jnp.diag)(
+                jnp.asarray(jitter, Dblocks.dtype) * diag)
         L = jnp.linalg.cholesky(Dblocks)
         eye = jnp.eye(Dblocks.shape[1], dtype=Dblocks.dtype)
         Linv = jax.vmap(
@@ -257,7 +271,7 @@ class BCRFactor:
         return jnp.einsum("kji,kjl->kil", Linv, Linv)  # Linv^T Linv
 
     @classmethod
-    def from_blocks(cls, D, E, min_blocks=1, store_dtype=None):
+    def from_blocks(cls, D, E, min_blocks=1, store_dtype=None, jitter=0.0):
         nb, b = D.shape[0], D.shape[1]
         if store_dtype is not None:
             D = D.astype(store_dtype)
@@ -270,7 +284,7 @@ class BCRFactor:
             n_odd = nb_c // 2
             n_even = nb_c - n_odd
             odd = Dc[1::2]  # (n_odd, b, b)
-            Dinv = cls._inv_spd(odd)
+            Dinv = cls._inv_spd(odd, jitter)
             E_left = Ec[0::2][:n_odd]  # E_{2k}, exact length n_odd
             E_right = Ec[1::2]  # E_{2k+1}
             if E_right.shape[0] < n_odd:  # nb_c even: last odd has no right
@@ -296,7 +310,7 @@ class BCRFactor:
 
             levels.append((Dinv, HL, HR))
             Dc, Ec = Dn, En
-        last_Dinv = cls._inv_spd(Dc)
+        last_Dinv = cls._inv_spd(Dc, jitter)
         return cls(levels, last_Dinv, nb, b)
 
     @property
@@ -442,4 +456,129 @@ class RefinedFactor:
     @classmethod
     def tree_unflatten(cls, aux, children):
         inner, op = children
+        return cls(*children, *aux)
+
+
+@jax.tree_util.register_pytree_node_class
+class PCGFactor:
+    """Robust mixed-precision solve for ill-conditioned (thin-shell) systems:
+    f64 PCG preconditioned by an f32 factor of the *equilibrated* matrix.
+
+    RefinedFactor's plain iterative refinement needs the preconditioned
+    spectral radius < 1, which an f32 factor loses once cond(A) passes
+    ~1/eps_f32 (reached by shell models mixing rotation/membrane DOF scales
+    — the CRM wingbox role, reference crm.py:62-144). PCG only needs the
+    preconditioner SPD: with S = diag(A)^{-1/2} equilibration and a
+    Manteuffel diagonal jitter on the f32 blocks (BCRFactor.from_blocks
+    jitter=), the solve converges at sqrt(cond(M^-1 A)) — measured 57
+    iterations to 4e-13 on a cond-2.6e7 wingbox where refinement diverges.
+
+    inner : f32 factor of S (A) S (e.g. jittered BCRFactor).
+    op    : f64 matrix-free operator for A.
+    s     : (n,) f64 equilibration scale, S = diag(s).
+
+    Blocked RHS: all k columns advance together with per-column alpha/beta;
+    converged columns freeze (their alpha/beta zeroed), the loop exits when
+    every column passes tol or at maxiter (the reference surfaces the same
+    convergence info from its iterative solvers, _info lists at
+    eigenvector_derivatives.py:1224-1319).
+    """
+
+    def __init__(self, inner, op, s, mask=None, tol=1e-12, maxiter=200):
+        self.inner = inner
+        self.op = op
+        self.s = s
+        # mask: (n,) 1.0 = free DOF, 0.0 = constrained/padded. The operator
+        # has zero rows there; completing it with identity (matching the
+        # unit diagonals injected into the preconditioner blocks) keeps the
+        # PCG system SPD on the FULL space — a zero-curvature direction in
+        # an unmasked RHS otherwise drives alpha -> inf -> NaN.
+        self.mask = mask
+        self.tol = tol
+        self.maxiter = maxiter
+
+    def _opmv(self, p):
+        y = self.op.mv(p)
+        if self.mask is not None:
+            y = y + (1.0 - self.mask)[:, None] * p
+        return y
+
+    @property
+    def shape(self):
+        return self.op.shape
+
+    @property
+    def dtype(self):
+        return jnp.float64
+
+    def _pre(self, r):
+        """One preconditioner apply: S M32^{-1} S r (f64 in/out)."""
+        return self.s[:, None] * self.inner.mv(
+            (self.s[:, None] * r).astype(jnp.float32)).astype(jnp.float64)
+
+    def approx_mv(self, r):
+        """Preconditioner-quality solve (no Krylov) for mixed ladders."""
+        squeeze = r.ndim == 1
+        if squeeze:
+            r = r[:, None]
+        y = self._pre(r.astype(jnp.float64))
+        return y[:, 0] if squeeze else y
+
+    def mv_info(self, x):
+        squeeze = x.ndim == 1
+        if squeeze:
+            x = x[:, None]
+        x = x.astype(jnp.float64)
+        nrm2 = jnp.sum(x * x, axis=0)
+        tol2 = (self.tol ** 2) * jnp.maximum(nrm2, 1e-300)
+
+        r = x
+        z = self._pre(r)
+        rz = jnp.sum(r * z, axis=0)
+        y = jnp.zeros_like(x)
+        p = z
+        r2 = nrm2
+
+        def cond(carry):
+            k, _, _, r2, _, _ = carry
+            return (k < self.maxiter) & jnp.any(r2 > tol2)
+
+        def body(carry):
+            k, y, r, r2, rz, p = carry
+            active = r2 > tol2
+            Ap = self._opmv(p)
+            pAp = jnp.sum(p * Ap, axis=0)
+            alpha = jnp.where(active, rz / jnp.where(pAp == 0.0, 1.0, pAp),
+                              0.0)
+            y = y + alpha[None, :] * p
+            r = r - alpha[None, :] * Ap
+            r2n = jnp.sum(r * r, axis=0)
+            z = self._pre(r)
+            rzn = jnp.sum(r * z, axis=0)
+            beta = jnp.where(active, rzn / jnp.where(rz == 0.0, 1.0, rz),
+                             0.0)
+            p = z + beta[None, :] * p
+            return k + 1, y, r, r2n, rzn, p
+
+        k, y, _, r2, _, _ = jax.lax.while_loop(
+            cond, body, (jnp.asarray(0), y, r, r2, rz, p))
+        info = {"niter": k,
+                "res": jnp.sqrt(r2 / jnp.maximum(nrm2, 1e-300))}
+        if squeeze:
+            y = y[:, 0]
+        return y, info
+
+    def mv(self, x):
+        y, _ = self.mv_info(x)
+        return y
+
+    def __call__(self, x):
+        return self.mv(x)
+
+    def tree_flatten(self):
+        return ((self.inner, self.op, self.s, self.mask),
+                (self.tol, self.maxiter))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
         return cls(*children, *aux)

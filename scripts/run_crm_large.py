@@ -38,13 +38,24 @@ NCHORD = int(os.environ.get("CRM_NCHORD", 16))
 NHEIGHT = int(os.environ.get("CRM_NHEIGHT", 8))
 N = int(os.environ.get("CRM_N", 6))
 M = int(os.environ.get("CRM_M", 72))
+# Flagship ~1M-DOF configuration (BASELINE config #5 scale):
+#   CRM_NSPAN=1890 CRM_NCHORD=12 CRM_NHEIGHT=6 CRM_SPAN=29.38 CRM_CROOT=7
+#   -> nb=1891 stations x b=546 = 1,032,486 padded DOF. The CRM-like
+#   span/chord keep the element aspect ratio sane at this resolution, and
+#   the f32 station-block assembly (models/crm.py:_factor) keeps the BCR
+#   build inside HBM (f64 D/E would be ~15 GB alone).
+MESH_KW = {}
+if os.environ.get("CRM_SPAN"):
+    MESH_KW["span"] = float(os.environ["CRM_SPAN"])
+if os.environ.get("CRM_CROOT"):
+    MESH_KW["c_root"] = float(os.environ["CRM_CROOT"])
 
 
 def main():
     from eigd_tpu.models.crm import CRM
 
     crm = CRM(nspan=NSPAN, nchord=NCHORD, nheight=NHEIGHT, N=N, m=M,
-              lanczos_polish=1)
+              lanczos_polish=1, **MESH_KW)
     print(f"CRM: {crm.nvars} padded DOF ({crm.nnodes} nodes, "
           f"{crm.profile['nelems']} elements, {crm.nb} stations x "
           f"b={crm.b})", flush=True)
@@ -76,6 +87,9 @@ def main():
     print(f"steady-state: solve {t_solve:.2f}s  adjoint {t_adj:.2f}s",
           flush=True)
 
+    if os.environ.get("CRM_NO_FD"):
+        return
+
     # central-difference check along a random thickness direction
     rng = np.random.default_rng(5)
     p = jnp.asarray(rng.uniform(0.5, 1.0, size=crm.ncomp))
@@ -83,7 +97,7 @@ def main():
 
     def value(x):
         c = CRM(nspan=NSPAN, nchord=NCHORD, nheight=NHEIGHT, N=N, m=M,
-                lanczos_polish=1)
+                lanczos_polish=1, **MESH_KW)
         c.x = x
         c.initialize()
         return float(c.get_modal_compliance())
