@@ -134,20 +134,24 @@ def shell_element_matrices(Xe, thickness, E=70e9, nu=0.3, rho=2700.0,
     Kl = Kl.at[:, diag_idx, diag_idx].add(kd[:, None] * jnp.ones((1, 4)))
     Ml = Ml.at[:, diag_idx, diag_idx].add(md[:, None] * jnp.ones((1, 4)))
 
-    # rotate to global: T = blockdiag(R x 8); K_g = T^T K_l T.
-    # Build (24, 24) transformation batched: for each node block pair apply R.
-    Kl = Kl.reshape(nelems, 4, 6, 4, 6)
-    Ml = Ml.reshape(nelems, 4, 6, 4, 6)
-    Rb = jnp.zeros((nelems, 6, 6))
-    Rb = Rb.at[:, 0:3, 0:3].set(R)
-    Rb = Rb.at[:, 3:6, 3:6].set(R)
+    # rotate to global: T = blockdiag(R x 8); K_g = T^T K_l T as two batched
+    # (e, 24, 24) GEMMs. Layout note: the earlier per-node-block einsum
+    # ("erp,eirjs,esq->eipjq") materialized (e, 4, 6, 4, 6)-shaped
+    # temporaries whose tiny trailing dims pad ~28x under the TPU (8, 128)
+    # tile — measured 18 GB of HLO temps (OOM) for a 20k-element assembly.
+    # The GEMM form keeps every intermediate at the operands' (e, 24, 24)
+    # shape (~5x lane padding, the best a 24-wide trailing dim can do).
+    T = jnp.zeros((nelems, 24, 24))
+    for i in range(4):
+        T = T.at[:, 6 * i:6 * i + 3, 6 * i:6 * i + 3].set(R)
+        T = T.at[:, 6 * i + 3:6 * i + 6, 6 * i + 3:6 * i + 6].set(R)
 
-    def rotate(Ab):
-        # A_g[p,q] = sum_{r,s} Rb[r,p] A_l[r,s] Rb[s,q] per node-block
-        return jnp.einsum("erp,eirjs,esq->eipjq", Rb, Ab, Rb)
+    def rotate(Al):
+        # A_g = T^T A_l T
+        return jnp.einsum("eri,ers,esj->eij", T, Al, T)
 
-    Kg = rotate(Kl).reshape(nelems, 24, 24)
-    Mg = rotate(Ml).reshape(nelems, 24, 24)
+    Kg = rotate(Kl)
+    Mg = rotate(Ml)
     Kg = 0.5 * (Kg + Kg.transpose(0, 2, 1))
     Mg = 0.5 * (Mg + Mg.transpose(0, 2, 1))
     return Kg, Mg

@@ -38,6 +38,14 @@ NCHORD = int(os.environ.get("CRM_NCHORD", 16))
 NHEIGHT = int(os.environ.get("CRM_NHEIGHT", 8))
 N = int(os.environ.get("CRM_N", 6))
 M = int(os.environ.get("CRM_M", 72))
+# Inexact forward sweep + Ritz polish (the grid bench's trick): the m-step
+# Lanczos sweep advances on single f32 preconditioner applies; only the
+# polish pays accurate (PCG) factor solves. At >=250k-DOF shell scale the
+# exact sweep is 72 full PCG solves inside ONE XLA execution — measured to
+# crash the tunneled worker.
+SWEEP = os.environ.get("CRM_SWEEP", "approx")
+POLISH = int(os.environ.get("CRM_POLISH", 2))
+JITTER = float(os.environ.get("CRM_JITTER", 1e-4))
 # Flagship ~1M-DOF configuration (BASELINE config #5 scale):
 #   CRM_NSPAN=1890 CRM_NCHORD=12 CRM_NHEIGHT=6 CRM_SPAN=29.38 CRM_CROOT=7
 #   -> nb=1891 stations x b=546 = 1,032,486 padded DOF. The CRM-like
@@ -55,7 +63,8 @@ def main():
     from eigd_tpu.models.crm import CRM
 
     crm = CRM(nspan=NSPAN, nchord=NCHORD, nheight=NHEIGHT, N=N, m=M,
-              lanczos_polish=1, **MESH_KW)
+              lanczos_polish=POLISH, lanczos_sweep=SWEEP,
+              factor_jitter=JITTER, **MESH_KW)
     print(f"CRM: {crm.nvars} padded DOF ({crm.nnodes} nodes, "
           f"{crm.profile['nelems']} elements, {crm.nb} stations x "
           f"b={crm.b})", flush=True)
@@ -97,7 +106,8 @@ def main():
 
     def value(x):
         c = CRM(nspan=NSPAN, nchord=NCHORD, nheight=NHEIGHT, N=N, m=M,
-                lanczos_polish=1, **MESH_KW)
+                lanczos_polish=POLISH, lanczos_sweep=SWEEP,
+                factor_jitter=JITTER, **MESH_KW)
         c.x = x
         c.initialize()
         return float(c.get_modal_compliance())
