@@ -210,6 +210,18 @@ class CRM:
                               "nelems": int(conn.shape[0]), "N": N, "m": m,
                               "stations": self.nb, "block": self.b,
                               "factor_kind": factor_kind}
+        # One compiled program per direction. An eager (op-by-op) jax.vjp
+        # keeps every pipeline intermediate alive on device for the whole
+        # phase — measured to exhaust the 16 GB of a v5e and crash the
+        # worker at ~250k DOF — whereas under jit XLA's buffer liveness
+        # frees them as the program runs. For the scalable path the two
+        # directions are additionally SPLIT at the custom-VJP seam
+        # (staged_eigh_gen_vjp): even jitted, the fused fwd+bwd executable
+        # crashes the v5e worker at ~250k shell DOF while each phase runs
+        # fine alone (scripts/probe_crm_stages.py bisect).
+        self._jit_solve = jax.jit(self._solve_fn)
+        self._fwd_prog = self._bwd_prog = None
+        self._res = None
 
     # -- differentiable assembly -------------------------------------------
 
@@ -311,7 +323,17 @@ class CRM:
     def initialize(self, store=False):
         self._ensure_cfg()
         t0 = time.time()
-        (self.lam, self.Qr), self._vjp = jax.vjp(self._solve_fn, self.x)
+        if self.scalable:
+            if self._fwd_prog is None:
+                from ..ops.autodiff import staged_eigh_gen_vjp
+
+                self._fwd_prog, self._bwd_prog = staged_eigh_gen_vjp(
+                    self.problem, self.cfg)
+            self._res = self._fwd_prog(self.x)
+            self.lam, self.Qr = self._res.lam, self._res.Phi
+        else:
+            (self.lam, self.Qr), self._vjp = jax.vjp(self._jit_solve,
+                                                     self.x)
         if self.scalable:
             self.Q = self.Qr  # already full (padded) space
         else:
@@ -330,7 +352,10 @@ class CRM:
 
     def finalize_adjoint(self):
         t0 = time.time()
-        (xb,) = self._vjp((self.lamb, self.Qrb))
+        if self.scalable:
+            xb = self._bwd_prog(self.x, self._res, self.lamb, self.Qrb)
+        else:
+            (xb,) = self._vjp((self.lamb, self.Qrb))
         self.xb = self.xb + xb
         self.profile["adjoint solution time"] = time.time() - t0
 

@@ -437,6 +437,68 @@ def staged_value_and_grad(pre, tail, problem: EigProblem,
 
 
 # ---------------------------------------------------------------------------
+def staged_eigh_gen_vjp(problem: EigProblem, cfg: EighGenConfig):
+    """The eigh_gen custom-VJP pair as TWO separately-compiled programs,
+    for three-phase model protocols (initialize / seed / finalize_adjoint,
+    reference natural_frequency.py:394-519) at sizes where one fused
+    forward+reverse executable is fragile.
+
+    Same motivation as :func:`staged_value_and_grad` (the fused ~1M-DOF
+    grid program miscompiled; the fused ~250k-DOF CRM shell program
+    crashes the TPU worker outright — measured stage-by-stage in
+    scripts/probe_crm_stages.py, where every individual phase of the same
+    pipeline runs fine): split at the custom-VJP seam so the forward
+    program never holds adjoint temporaries and the reverse program never
+    holds the forward's. Only the slim Lanczos result crosses the seam;
+    operators and the factorization are rebuilt from theta inside the
+    reverse program (deterministic, ~seconds) instead of pinning GBs of
+    saved factor blocks across the host boundary.
+
+    Returns ``(fwd_prog, bwd_prog)``:
+      fwd_prog(theta) -> res                (res.lam, res.Phi = eigenpairs)
+      bwd_prog(theta, res, lam_bar, Phi_bar) -> theta_bar
+    Mathematically identical to ``jax.vjp(eigh_gen, theta)`` with the same
+    problem/cfg (parity-tested in tests/test_crm.py).
+    """
+    import dataclasses as _dc
+
+    @jax.jit
+    def fwd_prog(theta):
+        A, B = problem.assemble(theta)
+        lam, Phi, (res, factor) = _forward_ops(theta, problem, A, B, cfg)
+        return _dc.replace(res, BV=None)
+
+    @jax.jit
+    def bwd_prog(theta, res, lam_bar, Phi_bar):
+        A, B = problem.assemble(theta)
+        A, B = _pallas_ops(A, B, cfg)
+        if problem.factor is not None:
+            factor = problem.factor(A, B, cfg.sigma, cfg.mode)
+        else:
+            factor = make_shift_factor(A, B, cfg.sigma, mode=cfg.mode,
+                                       kind=cfg.factor_kind)
+        deflate = None
+        if problem.nullspace is not None and cfg.adjoint_method == "pcpg":
+            from .lanczos import b_orthonormalize_rows
+
+            deflate = b_orthonormalize_rows(problem.nullspace(theta), B.mv,
+                                            axis=cfg.axis)
+        W_A, W_B, Phi = solve_eig_adjoint(A, B, res, factor, lam_bar,
+                                          Phi_bar, cfg, deflate=deflate)
+        sign_b = -1.0 if cfg.mode == "normal" else 1.0
+
+        def bilinear(th):
+            A2, B2 = problem.assemble(th)
+            fA = jnp.sum(W_A * A2.mv(Phi))
+            fB = jnp.sum(W_B * B2.mv(Phi))
+            return fA + sign_b * fB
+
+        return jax.grad(bilinear)(theta)
+
+    return fwd_prog, bwd_prog
+
+
+# ---------------------------------------------------------------------------
 # Differentiable SPD linear solve with a custom factor (static-solve path)
 # ---------------------------------------------------------------------------
 
