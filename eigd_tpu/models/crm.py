@@ -327,8 +327,13 @@ class CRM:
             if self._fwd_prog is None:
                 from ..ops.autodiff import staged_eigh_gen_vjp
 
+                # split_factor: assembly+factor build / Lanczos sweep /
+                # adjoint solve each compile as their OWN program (factor
+                # crosses the seams as a pytree argument). The two-program
+                # split still killed the v5e worker at ~250k shell DOF —
+                # the fault tracks single-program size (r2, 2026-08-20).
                 self._fwd_prog, self._bwd_prog = staged_eigh_gen_vjp(
-                    self.problem, self.cfg)
+                    self.problem, self.cfg, split_factor=True)
             self._res = self._fwd_prog(self.x)
             self.lam, self.Qr = self._res.lam, self._res.Phi
         else:

@@ -437,9 +437,10 @@ def staged_value_and_grad(pre, tail, problem: EigProblem,
 
 
 # ---------------------------------------------------------------------------
-def staged_eigh_gen_vjp(problem: EigProblem, cfg: EighGenConfig):
-    """The eigh_gen custom-VJP pair as TWO separately-compiled programs,
-    for three-phase model protocols (initialize / seed / finalize_adjoint,
+def staged_eigh_gen_vjp(problem: EigProblem, cfg: EighGenConfig,
+                        split_factor=False):
+    """The eigh_gen custom-VJP pair as separately-compiled programs, for
+    three-phase model protocols (initialize / seed / finalize_adjoint,
     reference natural_frequency.py:394-519) at sizes where one fused
     forward+reverse executable is fragile.
 
@@ -454,6 +455,16 @@ def staged_eigh_gen_vjp(problem: EigProblem, cfg: EighGenConfig):
     reverse program (deterministic, ~seconds) instead of pinning GBs of
     saved factor blocks across the host boundary.
 
+    ``split_factor=True`` splits ONE level further, at the factor seam:
+    assembly + factor build compile as their own program (``build_prog``)
+    and the Lanczos sweep / adjoint solve receive the operators and the
+    factorization as *pytree arguments*. Measured necessity (r2): the
+    two-program CRM forward still kills the v5e worker at ~250k shell DOF,
+    while the identical pipeline dispatched as build-then-solve runs —
+    the fault tracks single-program size, not the math. The factor build
+    program is shared (one compile) between the forward and reverse
+    directions.
+
     Returns ``(fwd_prog, bwd_prog)``:
       fwd_prog(theta) -> res                (res.lam, res.Phi = eigenpairs)
       bwd_prog(theta, res, lam_bar, Phi_bar) -> theta_bar
@@ -462,27 +473,69 @@ def staged_eigh_gen_vjp(problem: EigProblem, cfg: EighGenConfig):
     """
     import dataclasses as _dc
 
-    @jax.jit
-    def fwd_prog(theta):
-        A, B = problem.assemble(theta)
-        lam, Phi, (res, factor) = _forward_ops(theta, problem, A, B, cfg)
-        return _dc.replace(res, BV=None)
+    if not split_factor:
+        @jax.jit
+        def fwd_prog(theta):
+            A, B = problem.assemble(theta)
+            lam, Phi, (res, factor) = _forward_ops(theta, problem, A, B,
+                                                   cfg)
+            return _dc.replace(res, BV=None)
+    else:
+        @jax.jit
+        def build_prog(theta):
+            """Assembly + shift-invert factor build, as one program. The
+            operators/factor cross the host seam as pytrees (they must be
+            jit ARGUMENTS downstream: closure capture would bake the
+            multi-GB factor blocks into the lowered programs as constants
+            — measured 15+ min compiles through the remote-compile
+            tunnel, scripts/probe_crm_stages.py)."""
+            A, B = problem.assemble(theta)
+            A, B = _pallas_ops(A, B, cfg)
+            if problem.factor is not None:
+                factor = problem.factor(A, B, cfg.sigma, cfg.mode)
+            else:
+                factor = make_shift_factor(A, B, cfg.sigma, mode=cfg.mode,
+                                           kind=cfg.factor_kind)
+            deflate = None
+            if problem.nullspace is not None:
+                from .lanczos import b_orthonormalize_rows
 
-    @jax.jit
-    def bwd_prog(theta, res, lam_bar, Phi_bar):
-        A, B = problem.assemble(theta)
-        A, B = _pallas_ops(A, B, cfg)
-        if problem.factor is not None:
-            factor = problem.factor(A, B, cfg.sigma, cfg.mode)
-        else:
-            factor = make_shift_factor(A, B, cfg.sigma, mode=cfg.mode,
-                                       kind=cfg.factor_kind)
-        deflate = None
-        if problem.nullspace is not None and cfg.adjoint_method == "pcpg":
-            from .lanczos import b_orthonormalize_rows
+                deflate = b_orthonormalize_rows(problem.nullspace(theta),
+                                                B.mv, axis=cfg.axis)
+            v0 = problem.v0(theta) if problem.v0 is not None else None
+            return A, B, factor, deflate, v0
 
-            deflate = b_orthonormalize_rows(problem.nullspace(theta), B.mv,
-                                            axis=cfg.axis)
+        @jax.jit
+        def solve_prog(A, B, factor, deflate, v0):
+            if cfg.block > 1:
+                from .lanczos import block_lanczos_solve
+
+                res = block_lanczos_solve(
+                    A, B, factor, cfg.sigma, cfg.N, cfg.m, cfg.block,
+                    mode=cfg.mode, seed=cfg.seed, deflate=deflate,
+                    axis=cfg.axis, tol=cfg.lanczos_tol, v0=v0,
+                    ortho=cfg.lanczos_ortho,
+                    check_every=cfg.lanczos_check_every, polish=cfg.polish,
+                    polish_spare=cfg.polish_spare, sweep=cfg.lanczos_sweep)
+            else:
+                res = lanczos_solve(
+                    A, B, factor, cfg.sigma, cfg.N, cfg.m, mode=cfg.mode,
+                    seed=cfg.seed, deflate=deflate, axis=cfg.axis,
+                    tol=cfg.lanczos_tol, v0=v0,
+                    check_every=max(cfg.lanczos_check_every, 8),
+                    polish=cfg.polish)
+            return _dc.replace(res, BV=None)
+
+        def fwd_prog(theta):
+            A, B, factor, deflate, v0 = build_prog(theta)
+            return solve_prog(A, B, factor, deflate, v0)
+
+        fwd_prog.build_prog = build_prog
+        fwd_prog.solve_prog = solve_prog
+
+    def _adjoint_core(theta, A, B, factor, deflate, res, lam_bar, Phi_bar):
+        if cfg.adjoint_method != "pcpg":
+            deflate = None
         W_A, W_B, Phi = solve_eig_adjoint(A, B, res, factor, lam_bar,
                                           Phi_bar, cfg, deflate=deflate)
         sign_b = -1.0 if cfg.mode == "normal" else 1.0
@@ -494,6 +547,35 @@ def staged_eigh_gen_vjp(problem: EigProblem, cfg: EighGenConfig):
             return fA + sign_b * fB
 
         return jax.grad(bilinear)(theta)
+
+    if not split_factor:
+        @jax.jit
+        def bwd_prog(theta, res, lam_bar, Phi_bar):
+            A, B = problem.assemble(theta)
+            A, B = _pallas_ops(A, B, cfg)
+            if problem.factor is not None:
+                factor = problem.factor(A, B, cfg.sigma, cfg.mode)
+            else:
+                factor = make_shift_factor(A, B, cfg.sigma, mode=cfg.mode,
+                                           kind=cfg.factor_kind)
+            deflate = None
+            if problem.nullspace is not None \
+                    and cfg.adjoint_method == "pcpg":
+                from .lanczos import b_orthonormalize_rows
+
+                deflate = b_orthonormalize_rows(problem.nullspace(theta),
+                                                B.mv, axis=cfg.axis)
+            return _adjoint_core(theta, A, B, factor, deflate, res,
+                                 lam_bar, Phi_bar)
+    else:
+        adjoint_prog = jax.jit(_adjoint_core)
+
+        def bwd_prog(theta, res, lam_bar, Phi_bar):
+            A, B, factor, deflate, v0 = build_prog(theta)
+            return adjoint_prog(theta, A, B, factor, deflate, res,
+                                lam_bar, Phi_bar)
+
+        bwd_prog.adjoint_prog = adjoint_prog
 
     return fwd_prog, bwd_prog
 
