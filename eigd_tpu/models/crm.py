@@ -126,7 +126,7 @@ class CRM:
                  E=70e9, nu=0.3, rho=2700.0, t0=0.01, omega0=None,
                  adjoint_method="sibk", rtol=1e-10, eig_atol=1e-5,
                  factor_kind="bcr_f32", nribs=None, lanczos_polish=0,
-                 lanczos_block=1, lanczos_ortho="full",
+                 lanczos_block=None, lanczos_ortho="full",
                  lanczos_sweep="exact", factor_jitter=1e-4,
                  factor_tol=1e-12, factor_maxiter=200, **mesh_kw):
         if nribs is None:
@@ -141,15 +141,30 @@ class CRM:
         self.nnodes = X.shape[0]
         self.E, self.nu, self.rho = E, nu, rho
         self.N = N
-        if m is None:
-            m = max(3 * N + 1, 60)
-        self.m = m
         self.factor_kind = factor_kind
         self.factor_jitter = factor_jitter
         self.factor_tol = factor_tol
         self.factor_maxiter = factor_maxiter
         self._lanczos_polish = lanczos_polish
+        if lanczos_block is None:
+            # TPU-safe default at scale: the m-step single-vector sweep is
+            # a long scan of narrow BCR applies, and that program shape
+            # deterministically faults the tunneled v5e worker at ~250k
+            # shell DOF (probe_crm_split.py, r2). The block sweep (m/p
+            # GEMM-heavy steps) runs clean at the same size AND is the
+            # better MXU mapping; keep the single-vector form at small n
+            # where its lower m-for-convergence wins.
+            nvars_est = 6 * X.shape[0]
+            lanczos_block = 8 if nvars_est >= 150_000 else 1
         self._lanczos_block = lanczos_block
+        if m is None:
+            # block>1 converges by the block-Krylov DEGREE m/p: below
+            # p*(2N+6) the sweep silently under-converges (verify skill
+            # matrix note); single-vector keeps the reference-shaped
+            # default.
+            m = (max(3 * N + 1, 60) if lanczos_block == 1
+                 else lanczos_block * (2 * N + 8))
+        self.m = m
         self._lanczos_ortho = lanczos_ortho
         self._lanczos_sweep = lanczos_sweep
         self.scalable = factor_kind.startswith(("bcr", "blocktridiag"))

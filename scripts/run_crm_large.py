@@ -37,7 +37,12 @@ NSPAN = int(os.environ.get("CRM_NSPAN", 112))
 NCHORD = int(os.environ.get("CRM_NCHORD", 16))
 NHEIGHT = int(os.environ.get("CRM_NHEIGHT", 8))
 N = int(os.environ.get("CRM_N", 6))
-M = int(os.environ.get("CRM_M", 72))
+M = os.environ.get("CRM_M")  # None -> model default (scales with block)
+M = int(M) if M else None
+# None -> model auto (block=8 at >=150k DOF: the single-vector scan shape
+# faults the tunneled v5e worker at ~250k shell DOF, probe_crm_split.py)
+BLOCK = os.environ.get("CRM_BLOCK")
+BLOCK = int(BLOCK) if BLOCK else None
 # Inexact forward sweep + Ritz polish (the grid bench's trick): the m-step
 # Lanczos sweep advances on single f32 preconditioner applies; only the
 # polish pays accurate (PCG) factor solves. At >=250k-DOF shell scale the
@@ -64,7 +69,7 @@ def main():
 
     crm = CRM(nspan=NSPAN, nchord=NCHORD, nheight=NHEIGHT, N=N, m=M,
               lanczos_polish=POLISH, lanczos_sweep=SWEEP,
-              factor_jitter=JITTER, **MESH_KW)
+              lanczos_block=BLOCK, factor_jitter=JITTER, **MESH_KW)
     print(f"CRM: {crm.nvars} padded DOF ({crm.nnodes} nodes, "
           f"{crm.profile['nelems']} elements, {crm.nb} stations x "
           f"b={crm.b})", flush=True)
@@ -107,7 +112,7 @@ def main():
     def value(x):
         c = CRM(nspan=NSPAN, nchord=NCHORD, nheight=NHEIGHT, N=N, m=M,
                 lanczos_polish=POLISH, lanczos_sweep=SWEEP,
-                factor_jitter=JITTER, **MESH_KW)
+                lanczos_block=BLOCK, factor_jitter=JITTER, **MESH_KW)
         c.x = x
         c.initialize()
         return float(c.get_modal_compliance())
