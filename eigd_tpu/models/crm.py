@@ -321,10 +321,20 @@ class CRM:
         # the round-1 eager inverse-power estimate is gone.
         if self._sigma is None:
             self._sigma = 0.0
+        # Scalable (PCGFactor) path: mixed sibk ladder — each ladder step is
+        # ONE f32 BCR preconditioner apply (factor.approx_mv) instead of a
+        # full f64 PCG solve (~100x cheaper at thin-shell conditioning), and
+        # the outer rounds restart on true f64 residuals. Essential on the
+        # tunneled v5e: with the exact ladder one sibk round at 250k DOF
+        # blows the worker's 60 s execution kill; the mixed round is
+        # seconds. nrestart is generous — the (host-chunked) round loop
+        # exits on convergence or stagnation, so unused rounds are free.
+        mixed = self.scalable and self.adjoint_method in ("sibk", "pcpg")
         self.cfg = EighGenConfig(
             N=self.N, m=self.m, sigma=float(self._sigma), mode="normal",
             adjoint_method=self.adjoint_method, adjoint_maxiter=60,
-            adjoint_rtol=self.rtol * 1e-2, nrestart=2,
+            adjoint_rtol=self.rtol * 1e-2, nrestart=12 if mixed else 2,
+            adjoint_mixed=mixed,
             eig_atol=self.eig_atol, polish=self._lanczos_polish,
             block=self._lanczos_block, lanczos_ortho=self._lanczos_ortho,
             lanczos_sweep=self._lanczos_sweep)
@@ -344,11 +354,15 @@ class CRM:
 
                 # split_factor: assembly+factor build / Lanczos sweep /
                 # adjoint solve each compile as their OWN program (factor
-                # crosses the seams as a pytree argument). The two-program
-                # split still killed the v5e worker at ~250k shell DOF —
-                # the fault tracks single-program size (r2, 2026-08-20).
+                # crosses the seams as a pytree argument); chunk_adjoint
+                # additionally dispatches the sibk adjoint one round per
+                # program. Both are forced by the v5e worker's measured
+                # 60 s single-execution kill (probe_watchdog, r2): the
+                # fused adjoint exceeds it at ~250k shell DOF.
+                chunk = self.cfg.adjoint_method == "sibk"
                 self._fwd_prog, self._bwd_prog = staged_eigh_gen_vjp(
-                    self.problem, self.cfg, split_factor=True)
+                    self.problem, self.cfg, split_factor=True,
+                    chunk_adjoint=chunk)
             self._res = self._fwd_prog(self.x)
             self.lam, self.Qr = self._res.lam, self._res.Phi
         else:

@@ -341,54 +341,44 @@ def _solve_shifted_lstsq(alpha, H0, r):
 # ---------------------------------------------------------------------------
 
 
-def sibk(Phib, A, B, lam, Phi, mode="normal", psi=None, sigma=None,
-         factor=None, rtol=1e-10, atol=1e-30, eig_atol=1e-5, maxiter=50,
-         nrestart=2, check_every=3, bs_target=None, update_guess=None,
-         callback=None, axis=None, mixed=False, ladder="approx"):
-    """Shift-invert block Krylov adjoint solver.
+def _projected_adjoint_residual(Phib, A, B, lam, Phi, BPhi, psi, mode, axis):
+    """R = proj(-Phib - (A - lam B) psi): the sibk outer-round residual."""
+    if mode == "normal":
+        Rm = -Phib - (A.mv(psi) - B.mv(psi) * lam[None, :])
+    else:
+        Rm = -Phib - (B.mv(psi) + A.mv(psi) * lam[None, :])
+    return Rm - BPhi @ dd_dot(Phi.T, Rm, axis)
 
-    TPU-native redesign of reference :1052-1328. The reference advances the N
-    adjoint systems in blocks of ``bs_target`` (default 1), growing one Krylov
-    ladder per block with data-dependent convergence loops. Here the block is
-    *always the full set of N right-hand sides*: one shared Krylov space is
-    grown per round (every factor apply and projection is a blocked GEMM),
-    the N shifted projected systems ``(I - alpha_i H) y_i = r_i`` with
-    ``alpha_i = +/-(lam_i - sigma)`` are solved by batched QR least-squares,
-    and up to ``nrestart`` outer rounds restart from the true residuals. This
-    is the reference's ``update_guess=True`` mode taken to its batched limit.
 
-    Convergence control (reference :1312-1321 restart budget and :1268-1276
-    per-system exits, made jit-compatible): the ladder is a while_loop that
-    every ``check_every`` steps solves the projected least-squares systems
-    and exits once all N residuals are below ``tol = max(rtol * ||Phib||,
-    atol)``; rounds are a while_loop that stops when the *true* residuals
-    meet the same tolerance. Factor applies therefore track the difficulty
-    of the solve instead of burning the full ``nrestart * maxiter`` budget.
+def sibk_true_resnorm(Phib, A, B, lam, Phi, psi, mode="normal", axis=None):
+    """Absolute projected-residual norms of the N adjoint systems — the
+    quantity :func:`sibk`'s outer rounds restart on. Standalone so a
+    host-chunked round loop (:func:`sibk_round`) can evaluate its own
+    convergence/stagnation control between dispatches."""
+    A = as_operator(A)
+    B = as_operator(B)
+    lam = jnp.asarray(lam)
+    R = _projected_adjoint_residual(Phib, A, B, lam, Phi, B.mv(Phi), psi,
+                                    mode, axis)
+    return jnp.sqrt(psum(jnp.sum(R * R, axis=0), axis))
 
-    With ``axis`` set, all DOF-dimension reductions are psum'd over the
-    shard_map axis (seed QR becomes CholeskyQR2).
 
-    With ``mixed=True`` the whole ladder (basis, factor applies via
-    ``factor.approx_mv`` when available, GEMMs) runs in f32 while the outer
-    rounds restart on true f64 residuals — GMRES-IR-style mixed precision.
-    Each round then contracts by the f32 solve quality (~1e-5) instead of
-    converging in one, so give it nrestart ~ 4; on TPU an f32 ladder step
-    is ~50x cheaper than f64 (f64 GEMMs are emulated).
+def _sibk_setup(Phib, A, B, lam, Phi, mode="normal", sigma=None,
+                factor=None, rtol=1e-10, atol=1e-30, maxiter=50,
+                check_every=3, axis=None, mixed=False, ladder="approx"):
+    """Build the sibk round machinery shared by the fused solver (:func:`sibk`)
+    and the host-chunked round program (:func:`sibk_round`).
 
-    Returns (psi, EigCorrection, info) with info = dict(res=(N,) final true
-    relative residuals, niter=total ladder steps run, rounds=rounds run,
-    hist=(nrestart, N) per-round residual history — the jit-compatible form
-    of the reference's callback residual curves, natural_frequency.py:444-451).
+    Everything here is a pure function of the arguments, so tracing it inside
+    a jit with (A, B, factor) as *pytree arguments* produces the same program
+    whether the outer rounds run as a ``lax.while_loop`` (fused) or as one
+    dispatch per round from the host (chunked).
     """
-    del bs_target, update_guess, callback  # absorbed by the batched design
     A = as_operator(A)
     B = as_operator(B)
     lam = jnp.asarray(lam)
     n, N = Phib.shape
     dtype = Phib.dtype
-
-    if psi is None:
-        psi = jnp.zeros_like(Phib)
 
     BPhi = B.mv(Phi)
     G = -pdot(Phi.T, Phib, axis)
@@ -402,15 +392,9 @@ def sibk(Phib, A, B, lam, Phi, mode="normal", psi=None, sigma=None,
     else:
         raise ValueError(f"Unknown mode {mode!r}")
 
-    def proj(X):
-        return X - BPhi @ dd_dot(Phi.T, X, axis)
-
     def op_residual(psi_):
-        if mode == "normal":
-            Rm = -Phib - (A.mv(psi_) - B.mv(psi_) * lam[None, :])
-        else:
-            Rm = -Phib - (B.mv(psi_) + A.mv(psi_) * lam[None, :])
-        return proj(Rm)
+        return _projected_adjoint_residual(Phib, A, B, lam, Phi, BPhi, psi_,
+                                           mode, axis)
 
     def true_resnorm(psi_):
         R = op_residual(psi_)
@@ -573,8 +557,107 @@ def sibk(Phib, A, B, lam, Phi, mode="normal", psi=None, sigma=None,
             preferred_element_type=ldt).astype(dtype)
         return psi_, resids, t_end * N
 
+    import types as _types
+
+    return _types.SimpleNamespace(
+        one_round=one_round, true_resnorm=true_resnorm, tol=tol,
+        rnorm0=rnorm0, G=G, BPhi=BPhi,
+        floor0=(3e-6 if ldt != dtype else 1e-14))
+
+
+def sibk_round(Phib, A, B, lam, Phi, psi, eps_f, mode="normal", sigma=None,
+               factor=None, rtol=1e-10, atol=1e-30, maxiter=50,
+               check_every=3, axis=None, mixed=False, ladder="approx"):
+    """ONE outer sibk round as a standalone pure function.
+
+    Host-chunked execution support: the tunneled v5e worker kills any single
+    XLA execution longer than ~60 s (measured: a trivial fori_loop of
+    matmuls dies at exactly 60.0 s), so at CRM scale the adjoint must be
+    dispatched one round at a time with the (small) round carry crossing the
+    host boundary. Same math as one iteration of :func:`sibk`'s outer
+    while_loop.
+
+    Returns (psi, resids, resn_true, tol) — ``resn_true`` are the absolute
+    true residual norms after the round and ``tol`` the absolute stopping
+    tolerance, so the host loop's convergence/stagnation logic can mirror
+    :func:`sibk`'s ``round_cond`` exactly.
+    """
+    s = _sibk_setup(Phib, A, B, lam, Phi, mode=mode, sigma=sigma,
+                    factor=factor, rtol=rtol, atol=atol, maxiter=maxiter,
+                    check_every=check_every, axis=axis, mixed=mixed,
+                    ladder=ladder)
+    psi, resids, nsteps = s.one_round(psi, eps_f)
+    return psi, resids, s.true_resnorm(psi), s.tol
+
+
+def sibk_finish(Phib, B, lam, Phi, psi, mode="normal", eig_atol=1e-5,
+                axis=None):
+    """Final projection + repeated-eig correction for a host-chunked sibk
+    solve (the tail of :func:`sibk` after its rounds loop)."""
+    B = as_operator(B)
+    BPhi = B.mv(Phi)
+    G = -pdot(Phi.T, Phib, axis)
+    psi = psi - Phi @ pdot(BPhi.T, psi, axis)
+    return generate_adjoint_correction(lam, Phi, psi, G=G,
+                                       eig_atol=eig_atol, mode=mode,
+                                       axis=axis)
+
+
+def sibk(Phib, A, B, lam, Phi, mode="normal", psi=None, sigma=None,
+         factor=None, rtol=1e-10, atol=1e-30, eig_atol=1e-5, maxiter=50,
+         nrestart=2, check_every=3, bs_target=None, update_guess=None,
+         callback=None, axis=None, mixed=False, ladder="approx"):
+    """Shift-invert block Krylov adjoint solver.
+
+    TPU-native redesign of reference :1052-1328. The reference advances the N
+    adjoint systems in blocks of ``bs_target`` (default 1), growing one Krylov
+    ladder per block with data-dependent convergence loops. Here the block is
+    *always the full set of N right-hand sides*: one shared Krylov space is
+    grown per round (every factor apply and projection is a blocked GEMM),
+    the N shifted projected systems ``(I - alpha_i H) y_i = r_i`` with
+    ``alpha_i = +/-(lam_i - sigma)`` are solved by batched QR least-squares,
+    and up to ``nrestart`` outer rounds restart from the true residuals. This
+    is the reference's ``update_guess=True`` mode taken to its batched limit.
+
+    Convergence control (reference :1312-1321 restart budget and :1268-1276
+    per-system exits, made jit-compatible): the ladder is a while_loop that
+    every ``check_every`` steps solves the projected least-squares systems
+    and exits once all N residuals are below ``tol = max(rtol * ||Phib||,
+    atol)``; rounds are a while_loop that stops when the *true* residuals
+    meet the same tolerance. Factor applies therefore track the difficulty
+    of the solve instead of burning the full ``nrestart * maxiter`` budget.
+
+    With ``axis`` set, all DOF-dimension reductions are psum'd over the
+    shard_map axis (seed QR becomes CholeskyQR2).
+
+    With ``mixed=True`` the whole ladder (basis, factor applies via
+    ``factor.approx_mv`` when available, GEMMs) runs in f32 while the outer
+    rounds restart on true f64 residuals — GMRES-IR-style mixed precision.
+    Each round then contracts by the f32 solve quality (~1e-5) instead of
+    converging in one, so give it nrestart ~ 4; on TPU an f32 ladder step
+    is ~50x cheaper than f64 (f64 GEMMs are emulated).
+
+    Returns (psi, EigCorrection, info) with info = dict(res=(N,) final true
+    relative residuals, niter=total ladder steps run, rounds=rounds run,
+    hist=(nrestart, N) per-round residual history — the jit-compatible form
+    of the reference's callback residual curves, natural_frequency.py:444-451).
+    """
+    del bs_target, update_guess, callback  # absorbed by the batched design
+    s = _sibk_setup(Phib, A, B, lam, Phi, mode=mode, sigma=sigma,
+                    factor=factor, rtol=rtol, atol=atol, maxiter=maxiter,
+                    check_every=check_every, axis=axis, mixed=mixed,
+                    ladder=ladder)
+    N = Phib.shape[1]
+    dtype = Phib.dtype
+
+    if psi is None:
+        psi = jnp.zeros_like(Phib)
+
+    one_round = s.one_round
+    true_resnorm = s.true_resnorm
+    tol, rnorm0, floor0 = s.tol, s.rnorm0, s.floor0
+
     hist = jnp.full((max(1, nrestart), N), jnp.nan, dtype=dtype)
-    floor0 = 3e-6 if ldt != dtype else 1e-14
 
     def round_cond(carry):
         r, psi_, resn, _, _, eps_f, contraction = carry
@@ -604,8 +687,8 @@ def sibk(Phib, A, B, lam, Phi, mode="normal", psi=None, sigma=None,
     # the eigendirection fold-in: the Krylov update can leak tiny in-span
     # ghost components that the nearly-singular shifted solves amplify, and
     # the correction supplies the exact in-span values anyway.
-    psi = psi - Phi @ pdot(BPhi.T, psi, axis)
-    psi, data = generate_adjoint_correction(lam, Phi, psi, G=G,
+    psi = psi - Phi @ pdot(s.BPhi.T, psi, axis)
+    psi, data = generate_adjoint_correction(lam, Phi, psi, G=s.G,
                                             eig_atol=eig_atol, mode=mode)
     denom = jnp.maximum(rnorm0, 1e-300)
     info = {

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from . import adjoint as adj
+from .collective import psum
 from .factor import make_shift_factor
 from .lanczos import lanczos_solve
 from .operators import as_operator
@@ -438,7 +439,7 @@ def staged_value_and_grad(pre, tail, problem: EigProblem,
 
 # ---------------------------------------------------------------------------
 def staged_eigh_gen_vjp(problem: EigProblem, cfg: EighGenConfig,
-                        split_factor=False):
+                        split_factor=False, chunk_adjoint=False):
     """The eigh_gen custom-VJP pair as separately-compiled programs, for
     three-phase model protocols (initialize / seed / finalize_adjoint,
     reference natural_frequency.py:394-519) at sizes where one fused
@@ -465,6 +466,18 @@ def staged_eigh_gen_vjp(problem: EigProblem, cfg: EighGenConfig,
     program is shared (one compile) between the forward and reverse
     directions.
 
+    ``chunk_adjoint=True`` (sibk only; implies ``split_factor``) dispatches
+    the reverse solve ONE OUTER ROUND AT A TIME from the host instead of as
+    one program. Measured necessity (r2, scripts/probe_watchdog*.py): the
+    tunneled v5e worker kills any single XLA execution longer than 60.0 s —
+    a trivial fori_loop of matmuls dies at exactly 60 s while 58 s passes —
+    and the fused sibk adjoint exceeds that at ~250k shell DOF. The round
+    granularity is set by ``cfg.adjoint_maxiter`` (ladder steps per round,
+    i.e. per dispatch); the host loop reproduces :func:`adjoint.sibk`'s
+    round convergence/stagnation control exactly (same eps_f recalibration,
+    same <40%%-contraction stagnation exit), so the result matches the fused
+    path (parity-tested in tests/test_adjoint.py).
+
     Returns ``(fwd_prog, bwd_prog)``:
       fwd_prog(theta) -> res                (res.lam, res.Phi = eigenpairs)
       bwd_prog(theta, res, lam_bar, Phi_bar) -> theta_bar
@@ -472,6 +485,12 @@ def staged_eigh_gen_vjp(problem: EigProblem, cfg: EighGenConfig,
     problem/cfg (parity-tested in tests/test_crm.py).
     """
     import dataclasses as _dc
+
+    if chunk_adjoint:
+        if cfg.adjoint_method != "sibk":
+            raise ValueError("chunk_adjoint requires adjoint_method='sibk' "
+                             f"(got {cfg.adjoint_method!r})")
+        split_factor = True
 
     if not split_factor:
         @jax.jit
@@ -567,6 +586,81 @@ def staged_eigh_gen_vjp(problem: EigProblem, cfg: EighGenConfig,
                                                 B.mv, axis=cfg.axis)
             return _adjoint_core(theta, A, B, factor, deflate, res,
                                  lam_bar, Phi_bar)
+    elif chunk_adjoint:
+        import numpy as _np
+
+        @jax.jit
+        def guess_prog(A, B, factor, res, Phi_bar):
+            psi0 = adj.laa(Phi_bar, B, factor, res, b_ortho=True,
+                           mode=cfg.mode, axis=cfg.axis,
+                           approx=cfg.adjoint_mixed)
+            resn0 = adj.sibk_true_resnorm(Phi_bar, A, B, res.lam, res.Phi,
+                                          psi0, mode=cfg.mode, axis=cfg.axis)
+            rnorm0 = jnp.sqrt(jnp.max(psum(
+                jnp.sum(Phi_bar * Phi_bar, axis=0), cfg.axis)))
+            tol = jnp.maximum(cfg.adjoint_rtol * rnorm0, 1e-30)
+            return psi0, resn0, tol
+
+        @jax.jit
+        def round_prog(A, B, factor, lam, Phi, sigma, Phib, psi, eps_f):
+            psi, resids, resn, _ = adj.sibk_round(
+                Phib, A, B, lam, Phi, psi, eps_f, mode=cfg.mode,
+                sigma=sigma, factor=factor, rtol=cfg.adjoint_rtol,
+                maxiter=cfg.adjoint_maxiter, axis=cfg.axis,
+                mixed=cfg.adjoint_mixed, ladder=cfg.adjoint_ladder)
+            return psi, resids, resn
+
+        @jax.jit
+        def finish_prog(theta, A, B, res, psi, lam_bar, Phi_bar):
+            psi, data = adj.sibk_finish(Phi_bar, B, res.lam, res.Phi, psi,
+                                        mode=cfg.mode,
+                                        eig_atol=cfg.eig_atol, axis=cfg.axis)
+            W_A, W_B = adj.total_derivative_weights(
+                res.lam, res.Phi, lam_bar, Phi_bar, psi,
+                adj_corr_data=data, mode=cfg.mode, axis=cfg.axis)
+            sign_b = -1.0 if cfg.mode == "normal" else 1.0
+            Phi = res.Phi
+
+            def bilinear(th):
+                A2, B2 = problem.assemble(th)
+                fA = jnp.sum(W_A * A2.mv(Phi))
+                fB = jnp.sum(W_B * B2.mv(Phi))
+                return fA + sign_b * fB
+
+            return jax.grad(bilinear)(theta)
+
+        def bwd_prog(theta, res, lam_bar, Phi_bar):
+            A, B, factor, deflate, v0 = build_prog(theta)
+            del deflate, v0  # pcpg-only / forward-only
+            psi, resn, tol = guess_prog(A, B, factor, res, Phi_bar)
+            resn_h = _np.asarray(jax.device_get(resn))
+            tol_h = float(jax.device_get(tol))
+            floor0 = 3e-6 if cfg.adjoint_mixed else 1e-14
+            eps_f, contraction = floor0, 0.0
+            hist, rounds, r_max = [], 0, max(1, cfg.nrestart)
+            # Host mirror of adj.sibk's round while_loop: one dispatch per
+            # round keeps every execution under the worker's 60 s kill.
+            while (rounds < r_max and _np.any(resn_h > tol_h)
+                   and contraction < 0.6):
+                psi, resids, resn = round_prog(
+                    A, B, factor, res.lam, res.Phi, res.sigma, Phi_bar, psi,
+                    jnp.asarray(eps_f, dtype=Phi_bar.dtype))
+                resn_new = _np.asarray(jax.device_get(resn))
+                hist.append(_np.asarray(jax.device_get(resids)))
+                contraction = float(
+                    resn_new.max() / max(resn_h.max(), 1e-300))
+                eps_f = min(max(0.5 * contraction, floor0), 0.5)
+                resn_h = resn_new
+                rounds += 1
+            denom = max(float(tol_h) / cfg.adjoint_rtol, 1e-300)
+            bwd_prog.last_info = {"res": resn_h / denom, "rounds": rounds,
+                                  "hist": _np.asarray(hist) / denom}
+            return finish_prog(theta, A, B, res, psi, lam_bar, Phi_bar)
+
+        bwd_prog.guess_prog = guess_prog
+        bwd_prog.round_prog = round_prog
+        bwd_prog.finish_prog = finish_prog
+        bwd_prog.last_info = None
     else:
         adjoint_prog = jax.jit(_adjoint_core)
 

@@ -264,3 +264,76 @@ class TestRepeatedEigenvalues:
             fd = (f(x0 + h * pert) - f(x0 - h * pert)) / (2 * h)
             rel = abs(ans - float(fd)) / abs(float(fd))
             assert rel < 5e-7, (eps, rel, ans, float(fd))
+
+
+class TestChunkedStagedAdjoint:
+    """chunk_adjoint=True dispatches one sibk round per program (the
+    tunneled v5e kills executions > 60 s); the host round loop must
+    reproduce the fused solver's round control and gradient."""
+
+    def _make(self, nrestart, rtol, mixed=False):
+        from eigd_tpu.ops.autodiff import EigProblem, staged_eigh_gen_vjp
+
+        n, N = 90, 5
+        A0, B0 = make_pencil(n, seed=3)
+
+        def assemble(theta):
+            return (DenseOperator(A0 + jnp.diag(theta)),
+                    DenseOperator(B0 + 0.01 * jnp.diag(theta)))
+
+        problem = EigProblem(assemble=assemble)
+        cfg = EighGenConfig(N=N, m=60, sigma=0.0, adjoint_method="sibk",
+                            adjoint_rtol=rtol, adjoint_maxiter=15,
+                            nrestart=nrestart, adjoint_mixed=mixed)
+        return problem, cfg, n, N
+
+    @pytest.mark.parametrize("nrestart,rtol", [(1, 1e-10), (4, 1e-12)])
+    def test_matches_fused_staged_vjp(self, nrestart, rtol):
+        from eigd_tpu.ops.autodiff import staged_eigh_gen_vjp
+
+        problem, cfg, n, N = self._make(nrestart, rtol)
+        theta = jnp.asarray(0.1 * np.random.default_rng(7).uniform(size=n))
+        rng = np.random.default_rng(8)
+        lam_bar = jnp.asarray(rng.standard_normal(N))
+        Phi_bar = jnp.asarray(rng.standard_normal((n, N)))
+
+        fwd_f, bwd_f = staged_eigh_gen_vjp(problem, cfg, split_factor=True)
+        fwd_c, bwd_c = staged_eigh_gen_vjp(problem, cfg, chunk_adjoint=True)
+        res_f = fwd_f(theta)
+        res_c = fwd_c(theta)
+        np.testing.assert_array_equal(np.asarray(res_f.lam),
+                                      np.asarray(res_c.lam))
+        g_f = bwd_f(theta, res_f, lam_bar, Phi_bar)
+        g_c = bwd_c(theta, res_c, lam_bar, Phi_bar)
+        scale = float(jnp.max(jnp.abs(g_f)))
+        np.testing.assert_allclose(np.asarray(g_c), np.asarray(g_f),
+                                   atol=1e-11 * scale)
+        assert bwd_c.last_info is not None
+        assert bwd_c.last_info["rounds"] >= 1
+
+    def test_chunked_converges_multi_round(self):
+        """Mixed ladder forces multiple rounds; the host eps_f
+        recalibration must drive the true residual to tol like the
+        fused while_loop does."""
+        from eigd_tpu.ops.autodiff import staged_eigh_gen_vjp
+
+        problem, cfg, n, N = self._make(nrestart=6, rtol=1e-11, mixed=True)
+        theta = jnp.asarray(0.1 * np.random.default_rng(9).uniform(size=n))
+        rng = np.random.default_rng(10)
+        lam_bar = jnp.zeros(N)
+        Phi_bar = jnp.asarray(rng.standard_normal((n, N)))
+        fwd_c, bwd_c = staged_eigh_gen_vjp(problem, cfg, chunk_adjoint=True)
+        res = fwd_c(theta)
+        bwd_c(theta, res, lam_bar, Phi_bar)
+        info = bwd_c.last_info
+        assert info["rounds"] >= 2
+        assert float(np.max(info["res"])) < 1e-9
+
+    def test_requires_sibk(self):
+        from eigd_tpu.ops.autodiff import staged_eigh_gen_vjp
+
+        problem, cfg, _, _ = self._make(1, 1e-10)
+        import dataclasses
+        cfg2 = dataclasses.replace(cfg, adjoint_method="pcpg")
+        with pytest.raises(ValueError, match="sibk"):
+            staged_eigh_gen_vjp(problem, cfg2, chunk_adjoint=True)
