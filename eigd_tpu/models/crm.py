@@ -125,9 +125,9 @@ class CRM:
     def __init__(self, nspan=48, nchord=8, nheight=3, N=6, m=None, sigma=0.0,
                  E=70e9, nu=0.3, rho=2700.0, t0=0.01, omega0=None,
                  adjoint_method="sibk", rtol=1e-10, eig_atol=1e-5,
-                 factor_kind="bcr_f32", nribs=None, lanczos_polish=0,
+                 factor_kind="bcr_f32", nribs=None, lanczos_polish=None,
                  lanczos_block=None, lanczos_ortho="full",
-                 lanczos_sweep="exact", factor_jitter=1e-4,
+                 lanczos_sweep=None, factor_jitter=1e-4,
                  factor_tol=1e-12, factor_maxiter=200, **mesh_kw):
         if nribs is None:
             nribs = max(3, nspan // 8)
@@ -146,25 +146,6 @@ class CRM:
         self.factor_tol = factor_tol
         self.factor_maxiter = factor_maxiter
         self._lanczos_polish = lanczos_polish
-        if lanczos_block is None:
-            # TPU-safe default at scale: the m-step single-vector sweep is
-            # a long scan of narrow BCR applies, and that program shape
-            # deterministically faults the tunneled v5e worker at ~250k
-            # shell DOF (probe_crm_split.py, r2). The block sweep (m/p
-            # GEMM-heavy steps) runs clean at the same size AND is the
-            # better MXU mapping; keep the single-vector form at small n
-            # where its lower m-for-convergence wins.
-            nvars_est = 6 * X.shape[0]
-            lanczos_block = 8 if nvars_est >= 150_000 else 1
-        self._lanczos_block = lanczos_block
-        if m is None:
-            # block>1 converges by the block-Krylov DEGREE m/p: below
-            # p*(2N+6) the sweep silently under-converges (verify skill
-            # matrix note); single-vector keeps the reference-shaped
-            # default.
-            m = (max(3 * N + 1, 60) if lanczos_block == 1
-                 else lanczos_block * (2 * N + 8))
-        self.m = m
         self._lanczos_ortho = lanczos_ortho
         self._lanczos_sweep = lanczos_sweep
         self.scalable = factor_kind.startswith(("bcr", "blocktridiag"))
@@ -182,6 +163,39 @@ class CRM:
         self.b = 6 * self.b_nodes
         self.nvars = self.nb * self.b
         del span
+        if lanczos_block is None:
+            # TPU-safe default at scale: the m-step single-vector sweep is
+            # a long scan of narrow BCR applies, and that program shape
+            # deterministically faults the tunneled v5e worker at ~250k
+            # shell DOF (probe_crm_split.py, r2). The block sweep (m/p
+            # GEMM-heavy steps) runs clean at the same size AND is the
+            # better MXU mapping; keep the single-vector form at small n
+            # where its lower m-for-convergence wins. Gate on the PADDED
+            # nvars — program shapes (and the fault) track it, not the
+            # raw node count.
+            lanczos_block = 8 if self.nvars >= 150_000 else 1
+        self._lanczos_block = lanczos_block
+        if m is None:
+            # block>1 converges by the block-Krylov DEGREE m/p: below
+            # p*(2N+6) the sweep silently under-converges (verify skill
+            # matrix note); single-vector keeps the reference-shaped
+            # default.
+            m = (max(3 * N + 1, 60) if lanczos_block == 1
+                 else lanczos_block * (2 * N + 8))
+        self.m = m
+        at_scale = self.scalable and lanczos_block > 1 \
+            and self.nvars >= 150_000
+        if lanczos_sweep is None:
+            # Companion defaults for the block sweep at scale: advance on
+            # cheap f32 preconditioner applies and recover eigenpair
+            # accuracy with accurate polish applies at extraction —
+            # otherwise every one of the m/p block steps pays a full f64
+            # PCG solve, and the sweep program alone exceeds the v5e's
+            # 60 s execution kill.
+            self._lanczos_sweep = "approx" if at_scale else "exact"
+        if lanczos_polish is None:
+            self._lanczos_polish = 2 if self._lanczos_sweep == "approx" \
+                else 0
 
         rank = np.zeros(self.nnodes, dtype=np.int64)
         seen = np.zeros(self.nb, dtype=np.int64)
