@@ -187,15 +187,17 @@ class CRM:
             and self.nvars >= 150_000
         if lanczos_sweep is None:
             # Companion defaults for the block sweep at scale: advance on
-            # cheap f32 preconditioner applies and recover eigenpair
-            # accuracy with accurate polish applies at extraction —
-            # otherwise every one of the m/p block steps pays a full f64
-            # PCG solve, and the sweep program alone exceeds the v5e's
-            # 60 s execution kill.
+            # truncated-PCG applies (PCGFactor.approx_mv, ~1e-5) and polish
+            # the Ritz block with accurate applies at extraction — the
+            # exact sweep pays a full f64 PCG solve per block step and
+            # alone exceeds the v5e's 60 s execution kill. The cheaper
+            # single-preconditioner-apply sweep ("precond") is NOT enough
+            # for thin shells: measured lam error ~7e-6 rel survives
+            # polish=2 and breaks gradient FD checks at O(1).
             self._lanczos_sweep = "approx" if at_scale else "exact"
         if lanczos_polish is None:
-            self._lanczos_polish = 2 if self._lanczos_sweep == "approx" \
-                else 0
+            self._lanczos_polish = 0 if self._lanczos_sweep == "exact" \
+                else 2
 
         rank = np.zeros(self.nnodes, dtype=np.int64)
         seen = np.zeros(self.nb, dtype=np.int64)
@@ -374,9 +376,16 @@ class CRM:
                 # 60 s single-execution kill (probe_watchdog, r2): the
                 # fused adjoint exceeds it at ~250k shell DOF.
                 chunk = self.cfg.adjoint_method == "sibk"
+                # Forward sweep chunking: ~4 block steps per dispatch at
+                # scale keeps each execution well under the 60 s kill even
+                # with the truncated-PCG approx applies (~22 BCR-
+                # preconditioned iterations per apply at shell
+                # conditioning).
+                chunk_fwd = (4 if (self.cfg.block > 1
+                                   and self.nvars >= 150_000) else None)
                 self._fwd_prog, self._bwd_prog = staged_eigh_gen_vjp(
                     self.problem, self.cfg, split_factor=True,
-                    chunk_adjoint=chunk)
+                    chunk_adjoint=chunk, chunk_forward=chunk_fwd)
             self._res = self._fwd_prog(self.x)
             self.lam, self.Qr = self._res.lam, self._res.Phi
         else:

@@ -439,7 +439,8 @@ def staged_value_and_grad(pre, tail, problem: EigProblem,
 
 # ---------------------------------------------------------------------------
 def staged_eigh_gen_vjp(problem: EigProblem, cfg: EighGenConfig,
-                        split_factor=False, chunk_adjoint=False):
+                        split_factor=False, chunk_adjoint=False,
+                        chunk_forward=None):
     """The eigh_gen custom-VJP pair as separately-compiled programs, for
     three-phase model protocols (initialize / seed / finalize_adjoint,
     reference natural_frequency.py:394-519) at sizes where one fused
@@ -481,6 +482,15 @@ def staged_eigh_gen_vjp(problem: EigProblem, cfg: EighGenConfig,
     Returns ``(fwd_prog, bwd_prog)``:
       fwd_prog(theta) -> res                (res.lam, res.Phi = eigenpairs)
       bwd_prog(theta, res, lam_bar, Phi_bar) -> theta_bar
+    ``chunk_forward=k`` (block solver only; implies ``split_factor``)
+    dispatches the forward Lanczos sweep ``k`` block steps per program,
+    with the sweep carry staying device-resident (donated) between
+    dispatches, the adaptive-exit convergence check evaluated on the host
+    from the (small) coupling matrix, and each Ritz-polish step its own
+    dispatch. Same 60 s-execution-kill motivation; same math as the fused
+    sweep (one compiled chunk program serves every chunk size — t0/nsteps
+    are traced).
+
     Mathematically identical to ``jax.vjp(eigh_gen, theta)`` with the same
     problem/cfg (parity-tested in tests/test_crm.py).
     """
@@ -490,6 +500,11 @@ def staged_eigh_gen_vjp(problem: EigProblem, cfg: EighGenConfig,
         if cfg.adjoint_method != "sibk":
             raise ValueError("chunk_adjoint requires adjoint_method='sibk' "
                              f"(got {cfg.adjoint_method!r})")
+        split_factor = True
+    if chunk_forward:
+        if cfg.block <= 1:
+            raise ValueError("chunk_forward requires the block Lanczos "
+                             "solver (cfg.block > 1)")
         split_factor = True
 
     if not split_factor:
@@ -545,9 +560,93 @@ def staged_eigh_gen_vjp(problem: EigProblem, cfg: EighGenConfig,
                     polish=cfg.polish)
             return _dc.replace(res, BV=None)
 
-        def fwd_prog(theta):
-            A, B, factor, deflate, v0 = build_prog(theta)
-            return solve_prog(A, B, factor, deflate, v0)
+        if not chunk_forward:
+            def fwd_prog(theta):
+                A, B, factor, deflate, v0 = build_prog(theta)
+                return solve_prog(A, B, factor, deflate, v0)
+        else:
+            from .collective import dd_dot_rowsT
+            from .lanczos import (block_coupling_converged_host,
+                                  block_lanczos_extract, block_lanczos_start,
+                                  block_lanczos_sweep_chunk,
+                                  polish_ritz_block)
+
+            p_blk = cfg.block
+            q_blk = -(-cfg.m // p_blk)
+            mtot = q_blk * p_blk
+            spare = min(int(cfg.polish_spare), mtot - cfg.N) \
+                if cfg.polish_spare else 0
+
+            @jax.jit
+            def start_prog(A, B, factor, deflate, v0):
+                return block_lanczos_start(
+                    A, B, factor, cfg.sigma, cfg.N, cfg.m, p_blk,
+                    mode=cfg.mode, seed=cfg.seed, v0=v0, deflate=deflate,
+                    axis=cfg.axis, ortho=cfg.lanczos_ortho,
+                    sweep=cfg.lanczos_sweep)
+
+            @partial(jax.jit, donate_argnums=(3,))
+            def chunk_prog(A, B, factor, carry, deflate, t0, nsteps):
+                return block_lanczos_sweep_chunk(
+                    A, B, factor, carry, t0, nsteps, cfg.sigma, cfg.N,
+                    cfg.m, p_blk, mode=cfg.mode, deflate=deflate,
+                    axis=cfg.axis, ortho=cfg.lanczos_ortho,
+                    sweep=cfg.lanczos_sweep)
+
+            @jax.jit
+            def extract_prog(A, B, factor, deflate, carry, niter):
+                res = block_lanczos_extract(
+                    A, B, factor, cfg.sigma, cfg.N, cfg.mode, carry, niter,
+                    p_blk, cfg.lanczos_tol is not None,
+                    ortho=cfg.lanczos_ortho, polish=0, deflate=deflate,
+                    axis=cfg.axis)
+                if cfg.polish and spare > 0:
+                    sel_e = res.order[:cfg.N + spare]
+                    lam_e = res.lam_all[sel_e]
+                    Phi_e = dd_dot_rowsT(carry[0][:mtot], res.Y[:, sel_e])
+                    return res, lam_e, Phi_e
+                return res, res.lam, res.Phi
+
+            @jax.jit
+            def polish_prog(A, B, factor, deflate, lam_e, Phi_e):
+                return polish_ritz_block(A, B, factor, lam_e, Phi_e,
+                                         cfg.sigma, cfg.mode,
+                                         deflate=deflate, axis=cfg.axis,
+                                         nsteps=1)
+
+            def fwd_prog(theta):
+                A, B, factor, deflate, v0 = build_prog(theta)
+                carry = start_prog(A, B, factor, deflate, v0)
+                t = 0
+                while t < q_blk:
+                    nst = min(int(chunk_forward), q_blk - t)
+                    carry = chunk_prog(A, B, factor, carry, deflate, t, nst)
+                    t += nst
+                    if (cfg.lanczos_tol is not None and cfg.mode == "normal"
+                            and t < q_blk):
+                        # host mirror of the in-jit adaptive exit: the
+                        # coupling matrix Hc is (mtot+p, mtot) — tiny
+                        min_blocks = -(-cfg.N // p_blk) + 1
+                        if t >= min_blocks and block_coupling_converged_host(
+                                jax.device_get(carry[4]), t, p_blk, cfg.N,
+                                cfg.lanczos_tol):
+                            break
+                res, lam_e, Phi_e = extract_prog(A, B, factor, deflate,
+                                                 carry,
+                                                 jnp.asarray(t * p_blk))
+                if cfg.polish:
+                    for _ in range(int(cfg.polish)):
+                        lam_e, Phi_e, eig_res_e = polish_prog(
+                            A, B, factor, deflate, lam_e, Phi_e)
+                    res = _dc.replace(res, lam=lam_e[:cfg.N],
+                                      Phi=Phi_e[:, :cfg.N],
+                                      eig_res=eig_res_e[:cfg.N])
+                return _dc.replace(res, BV=None)
+
+            fwd_prog.start_prog = start_prog
+            fwd_prog.chunk_prog = chunk_prog
+            fwd_prog.extract_prog = extract_prog
+            fwd_prog.polish_prog = polish_prog
 
         fwd_prog.build_prog = build_prog
         fwd_prog.solve_prog = solve_prog

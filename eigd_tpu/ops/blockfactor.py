@@ -484,7 +484,8 @@ class PCGFactor:
     eigenvector_derivatives.py:1224-1319).
     """
 
-    def __init__(self, inner, op, s, mask=None, tol=1e-12, maxiter=200):
+    def __init__(self, inner, op, s, mask=None, tol=1e-12, maxiter=200,
+                 approx_tol=1e-5, approx_maxiter=30):
         self.inner = inner
         self.op = op
         self.s = s
@@ -496,6 +497,8 @@ class PCGFactor:
         self.mask = mask
         self.tol = tol
         self.maxiter = maxiter
+        self.approx_tol = approx_tol
+        self.approx_maxiter = approx_maxiter
 
     def _opmv(self, p):
         y = self.op.mv(p)
@@ -517,7 +520,21 @@ class PCGFactor:
             (self.s[:, None] * r).astype(jnp.float32)).astype(jnp.float64)
 
     def approx_mv(self, r):
-        """Preconditioner-quality solve (no Krylov) for mixed ladders."""
+        """Inexact solve for mixed sibk ladders / approx Lanczos sweeps: the
+        same PCG loop truncated at (approx_tol, approx_maxiter).
+
+        A single preconditioner apply is NOT enough here (unlike
+        GridMGFactor, whose V-cycle already solves to ~1e-1): for thin-shell
+        conditioning the equilibrated+jittered f32 BCR apply is only a
+        ~O(1)-relative-error map, and a sibk ladder built from it diverges —
+        measured at 250k CRM DOF, mode-0 true residual GREW 10x over 3
+        rounds. ~20 PCG iterations restore a ~1e-5-quality apply, which the
+        outer rounds' true-residual restarts then contract on.
+        """
+        return self._pcg(r, self.approx_tol, self.approx_maxiter)[0]
+
+    def precond_mv(self, r):
+        """ONE raw preconditioner apply (ladder='precond' mixed sibk)."""
         squeeze = r.ndim == 1
         if squeeze:
             r = r[:, None]
@@ -525,12 +542,15 @@ class PCGFactor:
         return y[:, 0] if squeeze else y
 
     def mv_info(self, x):
+        return self._pcg(x, self.tol, self.maxiter)
+
+    def _pcg(self, x, tol, maxiter):
         squeeze = x.ndim == 1
         if squeeze:
             x = x[:, None]
         x = x.astype(jnp.float64)
         nrm2 = jnp.sum(x * x, axis=0)
-        tol2 = (self.tol ** 2) * jnp.maximum(nrm2, 1e-300)
+        tol2 = (tol ** 2) * jnp.maximum(nrm2, 1e-300)
 
         r = x
         z = self._pre(r)
@@ -541,7 +561,7 @@ class PCGFactor:
 
         def cond(carry):
             k, _, _, r2, _, _ = carry
-            return (k < self.maxiter) & jnp.any(r2 > tol2)
+            return (k < maxiter) & jnp.any(r2 > tol2)
 
         def body(carry):
             k, y, r, r2, rz, p = carry
@@ -577,7 +597,8 @@ class PCGFactor:
 
     def tree_flatten(self):
         return ((self.inner, self.op, self.s, self.mask),
-                (self.tol, self.maxiter))
+                (self.tol, self.maxiter, self.approx_tol,
+                 self.approx_maxiter))
 
     @classmethod
     def tree_unflatten(cls, aux, children):

@@ -538,59 +538,38 @@ def polish_ritz_block(A, B, factor, lam, Phi, sigma, mode, deflate=None,
     return lam, Phi, eig_res
 
 
-def block_lanczos_solve(A, B, factor, sigma, N, m, p, mode="normal",
-                        seed=12345, v0=None, deflate=None, axis=None,
-                        tol=None, check_every=1,
-                        ortho="full", polish=0, polish_spare=0,
-                        sweep="exact") -> LanczosResult:
-    """Block shift-invert Lanczos: p Krylov vectors advance per factor apply.
+def _block_lanczos_setup(A, B, factor, sigma, N, m, p, mode="normal",
+                         seed=12345, v0=None, deflate=None, axis=None,
+                         ortho="full", sweep="exact"):
+    """Shared block-Lanczos machinery: the per-step closure and the
+    initial iteration state, as a pure function of the arguments.
 
-    TPU rationale: the factor apply is latency/bandwidth-bound, so a blocked
-    apply costs nearly the same as a single-vector one — the block form cuts
-    the number of (expensive, sequential) factor applies by ~p for the same
-    subspace dimension. The subspace is kept fully B-orthonormal with CGS2 +
-    B-CholeskyQR2 (all GEMMs), and the reduced problem uses the fully
-    measured projected operator exactly like the single-vector path. This
-    plays the role ARPACK's (single-vector) IRAM plays for the reference —
-    redesigned for the hardware rather than translated.
-
-    ortho="local" orthogonalizes each new block only against the previous
-    two (the true three-term block recurrence — the role of the reference's
-    "selective" mode, :1553-1605, re-derived for TPU where f64 GEMMs against
-    the whole basis are the expensive op). The drifted orthogonality is
-    absorbed EXACTLY by a generalized Rayleigh-Ritz with the measured Gram
-    matrix G = V^T B V: solve (H, G) instead of H, so extraction quality is
-    unaffected; only the Gram's conditioning (Paige growth ~ eps/converged
-    residual) bounds how far past convergence the iteration may run. The
-    stored reduced eigenvectors Y are G-orthonormal, under which every
-    downstream formula (laa's C = Ys^T V Phib and V^T (Ys ...), Phi = V^T Y)
-    is algebraically identical to the orthonormal-basis case — the Gram
-    Cholesky factor cancels — so no consumer changes.
-
-    m is rounded up to a multiple of p. The 'dl' adjoint needs the scalar
-    three-term chain and therefore requires the single-vector solver.
-
-    sweep="approx" drives the per-step factor apply with
-    ``factor.approx_mv`` (a preconditioner-quality f32 solve) instead of
-    the accurate ``mv`` — the forward analog of the adjoint's mixed
-    ladder. Inexact-Krylov rationale: the measured Rayleigh-Ritz solves
-    the exact Galerkin problem on whatever subspace was computed, so
-    inexact applies only lower the subspace's alignment (Ritz residuals
-    floor near the apply accuracy); ``polish_ritz_block`` then restores
-    the eigenpairs with `polish` ACCURATE applies. Net at 1M DOF: q cheap
-    applies + polish accurate ones instead of q accurate ones. The role
-    accurate SuperLU solves play in the reference's forward Lanczos
-    (eigenvector_derivatives.py:1500,1524) is split into cheap-sweep +
-    polish here. NOTE: the adaptive exit's eig_res bound then measures
-    convergence to the INEXACTLY-applied operator — set tol no tighter
-    than the approx apply accuracy.
+    Used by the fused solver (:func:`block_lanczos_solve`) and by the
+    host-chunked programs (:func:`block_lanczos_start` /
+    :func:`block_lanczos_sweep_chunk` / :func:`block_lanczos_extract`)
+    that dispatch the sweep a few block steps at a time — the tunneled
+    v5e worker kills any single XLA execution longer than 60 s
+    (measured, scripts/probe_watchdog*.py), which the fused sweep
+    exceeds at large shell DOF. Tracing this inside a jit with
+    (A, B, factor) as pytree ARGUMENTS produces the same step program
+    either way; unused pieces (e.g. the seed QR inside a mid-sweep
+    chunk) are dead-code-eliminated by XLA.
     """
     A = as_operator(A)
     B = as_operator(B)
     dtype = A.dtype
     n = A.shape[0]
-    approx_fn = getattr(factor, "approx_mv", None)
-    if sweep == "approx" and approx_fn is not None:
+    # sweep="precond": ONE raw preconditioner apply per step (cheapest,
+    # crudest — one f32 BCR solve / one V-cycle); "approx": the factor's
+    # preconditioner-QUALITY inexact solve (~1e-5). The measured
+    # Rayleigh-Ritz tolerates either; pick by how much polish can repair.
+    approx_fn = None
+    if sweep == "precond":
+        approx_fn = (getattr(factor, "precond_mv", None)
+                     or getattr(factor, "approx_mv", None))
+    elif sweep == "approx":
+        approx_fn = getattr(factor, "approx_mv", None)
+    if approx_fn is not None:
         def apply_fn(Xb):
             return approx_fn(Xb).astype(dtype)
     else:
@@ -726,57 +705,26 @@ def block_lanczos_solve(A, B, factor, sigma, N, m, p, mode="normal",
         Hc = jax.lax.dynamic_update_slice(Hc, h, (0, lo))
         return V, BV, Hraw, Graw, Hc, V32, BV32
 
-    if tol is None or mode != "normal":
-        def body(t, carry):
-            return step(t, *carry)
+    import types as _types
 
-        V, BV, Hraw, Graw, Hc, V32, BV32 = jax.lax.fori_loop(
-            0, q, body, (V, BV, Hraw, Graw, Hc, V32, BV32))
-        niter = jnp.asarray(mtot)
-    else:
-        row = jnp.arange(mtot)
+    return _types.SimpleNamespace(
+        step=step, carry0=(V, BV, Hraw, Graw, Hc, V32, BV32), q=q,
+        mtot=mtot, local=local, defl=defl, dtype=dtype)
 
-        def converged(t1, Hc):
-            active = row < t1 * p
-            Hm = Hc[:mtot] * active[:, None] * active[None, :]
-            Hm = 0.5 * (Hm + Hm.T)
-            theta, Y = jnp.linalg.eigh(Hm)
-            sel = jnp.argsort(-theta)[:N]
-            # coupling of the last active block: rows [t1*p, t1*p + p) of Hc
-            Rblk = jax.lax.dynamic_slice(
-                Hc, ((t1 - 1) * p + p, (t1 - 1) * p), (p, p))
-            Ylast = jax.lax.dynamic_slice_in_dim(
-                Y, (t1 - 1) * p, p, axis=0)[:, sel]
-            res = jnp.sqrt(jnp.sum((Rblk @ Ylast) ** 2, axis=0))
-            scale = jnp.maximum(jnp.max(jnp.abs(theta)), 1.0)
-            return jnp.all(res < tol * scale)
 
-        def cond(carry):
-            t, done = carry[0], carry[1]
-            return (t < q) & ~done
-
-        def body(carry):
-            t, done, V, BV, Hraw, Graw, Hc, V32, BV32 = carry
-            V, BV, Hraw, Graw, Hc, V32, BV32 = step(
-                t, V, BV, Hraw, Graw, Hc, V32, BV32)
-            t1 = t + 1
-            min_blocks = -(-N // p) + 1
-            do_check = ((t1 % check_every) == 0) & (t1 >= min_blocks)
-            done = jax.lax.cond(
-                do_check, lambda: converged(t1, Hc),
-                lambda: jnp.asarray(False))
-            return t1, done, V, BV, Hraw, Graw, Hc, V32, BV32
-
-        carry = (jnp.asarray(0), jnp.asarray(False), V, BV, Hraw, Graw,
-                 Hc, V32, BV32)
-        t_end, _, V, BV, Hraw, Graw, Hc, V32, BV32 = jax.lax.while_loop(
-            cond, body, carry)
-        niter = t_end * p
-        # No row masking needed: Hraw rows/cols past niter are structurally
-        # zero (the incremental fill never writes them), so the inactive
-        # block is exactly decoupled; the V/BV rows of the final unused QR
-        # block carry theta = 0 directions that guard_tiny sorts last.
-
+def _block_lanczos_extract(A, B, factor, sigma, N, mode, carry, niter,
+                           p, guard_tiny0, ortho, polish, polish_spare,
+                           deflate, axis):
+    """Rayleigh-Ritz extraction tail of the block Lanczos solve
+    (symmetric completion, Gram-RR, selection, residual bound, polish)
+    as a standalone pure function of the sweep state."""
+    A = as_operator(A)
+    B = as_operator(B)
+    V, BV, Hraw, Graw, Hc, V32, BV32 = carry
+    del V32, BV32
+    mtot = Hraw.shape[1]
+    dtype = V.dtype
+    guard_tiny = guard_tiny0
     # Symmetric completion of the incrementally measured projected operator:
     # entries above the current block at measurement time come from their
     # (independently measured) mirror images.
@@ -787,7 +735,7 @@ def block_lanczos_solve(A, B, factor, sigma, N, m, p, mode="normal",
     H = 0.5 * (Hm + Hm.T)
     from .jacobi import eigh_accurate
 
-    guard_tiny = tol is not None
+    # guard_tiny0: whether the sweep may have exited early (adaptive tol)
     if ortho == "local":
         # Generalized Rayleigh-Ritz with the measured Gram matrix: extracts
         # exact Ritz pairs from the drifted (non-orthonormal) basis. The
@@ -885,6 +833,183 @@ def block_lanczos_solve(A, B, factor, sigma, N, m, p, mode="normal",
         lam=lam, Phi=Phi, V=V, BV=BV, alpha=zeros_m, beta=zeros_m, H=H,
         theta=theta, Y=Y, order=order, lam_all=lam_all, eig_res=eig_res,
         sigma=jnp.asarray(sigma, dtype=dtype), niter=niter)
+
+
+def block_lanczos_start(A, B, factor, sigma, N, m, p, mode="normal",
+                        seed=12345, v0=None, deflate=None, axis=None,
+                        ortho="full", sweep="exact"):
+    """Initial sweep state (carry) for a host-chunked block Lanczos solve.
+
+    The carry is (V, BV, Hraw, Graw, Hc, V32, BV32); feed it through
+    :func:`block_lanczos_sweep_chunk` dispatches and finish with
+    :func:`block_lanczos_extract`. Composing these with the same arguments
+    reproduces :func:`block_lanczos_solve` exactly (same step program).
+    """
+    s = _block_lanczos_setup(A, B, factor, sigma, N, m, p, mode=mode,
+                             seed=seed, v0=v0, deflate=deflate, axis=axis,
+                             ortho=ortho, sweep=sweep)
+    return s.carry0
+
+
+def block_lanczos_sweep_chunk(A, B, factor, carry, t0, nsteps, sigma, N, m,
+                              p, mode="normal", deflate=None, axis=None,
+                              ortho="full", sweep="exact"):
+    """``nsteps`` block-Lanczos steps starting at block ``t0``, as a pure
+    function — the host-chunked sweep unit (one dispatch must stay under
+    the tunneled v5e's 60 s execution kill). ``t0``/``nsteps`` may be
+    traced, so one compiled program serves every chunk size."""
+    s = _block_lanczos_setup(A, B, factor, sigma, N, m, p, mode=mode,
+                             deflate=deflate, axis=axis, ortho=ortho,
+                             sweep=sweep)
+
+    def body(i, c):
+        return s.step(t0 + i, *c)
+
+    return jax.lax.fori_loop(0, nsteps, body, carry)
+
+
+def block_lanczos_extract(A, B, factor, sigma, N, mode, carry, niter, p,
+                          guard_tiny, ortho="full", polish=0,
+                          polish_spare=0, deflate=None, axis=None):
+    """Public extraction tail for the host-chunked solve."""
+    return _block_lanczos_extract(A, B, factor, sigma, N, mode, carry,
+                                  niter, p, guard_tiny, ortho, polish,
+                                  polish_spare, deflate, axis)
+
+
+def block_coupling_converged_host(Hc, t1, p, N, tol):
+    """Host (numpy) mirror of the adaptive exit's coupling-bound test, for
+    convergence checks between sweep-chunk dispatches. Same math as the
+    in-jit ``converged`` closure in :func:`block_lanczos_solve`."""
+    import numpy as np
+
+    Hc = np.asarray(Hc)
+    mtot = Hc.shape[1]
+    if t1 < 1:
+        return False
+    active = np.arange(mtot) < t1 * p
+    Hm = Hc[:mtot] * active[:, None] * active[None, :]
+    Hm = 0.5 * (Hm + Hm.T)
+    theta, Y = np.linalg.eigh(Hm)
+    sel = np.argsort(-theta)[:N]
+    lo = (t1 - 1) * p
+    Rblk = Hc[lo + p:lo + 2 * p, lo:lo + p]
+    Ylast = Y[lo:lo + p][:, sel]
+    res = np.sqrt(np.sum((Rblk @ Ylast) ** 2, axis=0))
+    scale = max(float(np.max(np.abs(theta))), 1.0)
+    return bool(np.all(res < tol * scale))
+
+
+def block_lanczos_solve(A, B, factor, sigma, N, m, p, mode="normal",
+                        seed=12345, v0=None, deflate=None, axis=None,
+                        tol=None, check_every=1,
+                        ortho="full", polish=0, polish_spare=0,
+                        sweep="exact") -> LanczosResult:
+    """Block shift-invert Lanczos: p Krylov vectors advance per factor apply.
+
+    TPU rationale: the factor apply is latency/bandwidth-bound, so a blocked
+    apply costs nearly the same as a single-vector one — the block form cuts
+    the number of (expensive, sequential) factor applies by ~p for the same
+    subspace dimension. The subspace is kept fully B-orthonormal with CGS2 +
+    B-CholeskyQR2 (all GEMMs), and the reduced problem uses the fully
+    measured projected operator exactly like the single-vector path. This
+    plays the role ARPACK's (single-vector) IRAM plays for the reference —
+    redesigned for the hardware rather than translated.
+
+    ortho="local" orthogonalizes each new block only against the previous
+    two (the true three-term block recurrence — the role of the reference's
+    "selective" mode, :1553-1605, re-derived for TPU where f64 GEMMs against
+    the whole basis are the expensive op). The drifted orthogonality is
+    absorbed EXACTLY by a generalized Rayleigh-Ritz with the measured Gram
+    matrix G = V^T B V: solve (H, G) instead of H, so extraction quality is
+    unaffected; only the Gram's conditioning (Paige growth ~ eps/converged
+    residual) bounds how far past convergence the iteration may run. The
+    stored reduced eigenvectors Y are G-orthonormal, under which every
+    downstream formula (laa's C = Ys^T V Phib and V^T (Ys ...), Phi = V^T Y)
+    is algebraically identical to the orthonormal-basis case — the Gram
+    Cholesky factor cancels — so no consumer changes.
+
+    m is rounded up to a multiple of p. The 'dl' adjoint needs the scalar
+    three-term chain and therefore requires the single-vector solver.
+
+    sweep="approx" drives the per-step factor apply with
+    ``factor.approx_mv`` (a preconditioner-quality f32 solve) instead of
+    the accurate ``mv`` — the forward analog of the adjoint's mixed
+    ladder. Inexact-Krylov rationale: the measured Rayleigh-Ritz solves
+    the exact Galerkin problem on whatever subspace was computed, so
+    inexact applies only lower the subspace's alignment (Ritz residuals
+    floor near the apply accuracy); ``polish_ritz_block`` then restores
+    the eigenpairs with `polish` ACCURATE applies. Net at 1M DOF: q cheap
+    applies + polish accurate ones instead of q accurate ones. The role
+    accurate SuperLU solves play in the reference's forward Lanczos
+    (eigenvector_derivatives.py:1500,1524) is split into cheap-sweep +
+    polish here. NOTE: the adaptive exit's eig_res bound then measures
+    convergence to the INEXACTLY-applied operator — set tol no tighter
+    than the approx apply accuracy.
+    """
+    s = _block_lanczos_setup(A, B, factor, sigma, N, m, p, mode=mode,
+                             seed=seed, v0=v0, deflate=deflate,
+                             axis=axis, ortho=ortho, sweep=sweep)
+    step, q, mtot = s.step, s.q, s.mtot
+    dtype = s.dtype
+    V, BV, Hraw, Graw, Hc, V32, BV32 = s.carry0
+    if tol is None or mode != "normal":
+        def body(t, carry):
+            return step(t, *carry)
+
+        V, BV, Hraw, Graw, Hc, V32, BV32 = jax.lax.fori_loop(
+            0, q, body, (V, BV, Hraw, Graw, Hc, V32, BV32))
+        niter = jnp.asarray(mtot)
+    else:
+        row = jnp.arange(mtot)
+
+        def converged(t1, Hc):
+            active = row < t1 * p
+            Hm = Hc[:mtot] * active[:, None] * active[None, :]
+            Hm = 0.5 * (Hm + Hm.T)
+            theta, Y = jnp.linalg.eigh(Hm)
+            sel = jnp.argsort(-theta)[:N]
+            # coupling of the last active block: rows [t1*p, t1*p + p) of Hc
+            Rblk = jax.lax.dynamic_slice(
+                Hc, ((t1 - 1) * p + p, (t1 - 1) * p), (p, p))
+            Ylast = jax.lax.dynamic_slice_in_dim(
+                Y, (t1 - 1) * p, p, axis=0)[:, sel]
+            res = jnp.sqrt(jnp.sum((Rblk @ Ylast) ** 2, axis=0))
+            scale = jnp.maximum(jnp.max(jnp.abs(theta)), 1.0)
+            return jnp.all(res < tol * scale)
+
+        def cond(carry):
+            t, done = carry[0], carry[1]
+            return (t < q) & ~done
+
+        def body(carry):
+            t, done, V, BV, Hraw, Graw, Hc, V32, BV32 = carry
+            V, BV, Hraw, Graw, Hc, V32, BV32 = step(
+                t, V, BV, Hraw, Graw, Hc, V32, BV32)
+            t1 = t + 1
+            min_blocks = -(-N // p) + 1
+            do_check = ((t1 % check_every) == 0) & (t1 >= min_blocks)
+            done = jax.lax.cond(
+                do_check, lambda: converged(t1, Hc),
+                lambda: jnp.asarray(False))
+            return t1, done, V, BV, Hraw, Graw, Hc, V32, BV32
+
+        carry = (jnp.asarray(0), jnp.asarray(False), V, BV, Hraw, Graw,
+                 Hc, V32, BV32)
+        t_end, _, V, BV, Hraw, Graw, Hc, V32, BV32 = jax.lax.while_loop(
+            cond, body, carry)
+        niter = t_end * p
+        # No row masking needed: Hraw rows/cols past niter are structurally
+        # zero (the incremental fill never writes them), so the inactive
+        # block is exactly decoupled; the V/BV rows of the final unused QR
+        # block carry theta = 0 directions that guard_tiny sorts last.
+
+    return _block_lanczos_extract(
+        A, B, factor, sigma, N, mode, (V, BV, Hraw, Graw, Hc, V32, BV32),
+        niter, p, tol is not None, ortho, polish, polish_spare, deflate,
+        axis)
+
+
 
 
 class BasicLanczos:

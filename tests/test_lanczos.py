@@ -593,3 +593,79 @@ class TestStagedValueAndGrad:
         assert abs(float(v_s) - float(v_f)) < 1e-12 * abs(float(v_f))
         np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_f),
                                    rtol=1e-9, atol=1e-14)
+
+
+class TestChunkedForward:
+    """chunk_forward dispatches the block Lanczos sweep a few steps per
+    program (v5e 60 s execution kill); must reproduce the fused sweep."""
+
+    def _problem(self):
+        from eigd_tpu import DenseOperator
+        from eigd_tpu.ops.autodiff import EigProblem
+
+        n = 120
+        rng = np.random.default_rng(5)
+        Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        w = np.concatenate([np.arange(1.0, 9.0),
+                            np.linspace(60.0, 200.0, n - 8)])
+        A0 = jnp.asarray(Q @ np.diag(w) @ Q.T)
+        B0 = jnp.eye(n)
+
+        def assemble(theta):
+            return (DenseOperator(A0 + jnp.diag(theta)),
+                    DenseOperator(B0 + 0.01 * jnp.diag(theta)))
+
+        return EigProblem(assemble=assemble), n
+
+    @pytest.mark.parametrize("polish,spare,tol", [
+        (0, 0, None), (2, 2, None), (1, 0, 1e-12)])
+    def test_matches_fused_solve(self, polish, spare, tol):
+        from eigd_tpu.ops.autodiff import EighGenConfig, staged_eigh_gen_vjp
+
+        problem, n = self._problem()
+        cfg = EighGenConfig(N=4, m=48, sigma=0.0, block=4, polish=polish,
+                            polish_spare=spare, lanczos_tol=tol)
+        theta = jnp.asarray(0.1 * np.random.default_rng(2).uniform(size=n))
+        fwd_f, _ = staged_eigh_gen_vjp(problem, cfg, split_factor=True)
+        fwd_c, _ = staged_eigh_gen_vjp(problem, cfg, chunk_forward=3)
+        res_f = fwd_f(theta)
+        res_c = fwd_c(theta)
+        if tol is None:
+            # full sweep: identical math, bit-level parity expected
+            np.testing.assert_array_equal(np.asarray(res_f.lam),
+                                          np.asarray(res_c.lam))
+            np.testing.assert_array_equal(np.asarray(res_f.Phi),
+                                          np.asarray(res_c.Phi))
+        else:
+            # adaptive exit: the host check runs at chunk boundaries (every
+            # 3 blocks) vs the fused check's every block — exit steps may
+            # differ; converged QUANTITIES must agree
+            np.testing.assert_allclose(np.asarray(res_f.lam),
+                                       np.asarray(res_c.lam), rtol=1e-9)
+            Pf = np.asarray(res_f.Phi)
+            Pc = np.asarray(res_c.Phi)
+            mac = np.abs(np.sum(Pf * Pc, axis=0)) / (
+                np.linalg.norm(Pf, axis=0) * np.linalg.norm(Pc, axis=0))
+            np.testing.assert_allclose(mac, np.ones(4), atol=1e-6)
+
+    def test_chunked_gradient_matches(self):
+        """End-to-end chunked fwd + chunked bwd gradient vs the fused
+        staged pair."""
+        from eigd_tpu.ops.autodiff import EighGenConfig, staged_eigh_gen_vjp
+
+        problem, n = self._problem()
+        cfg = EighGenConfig(N=4, m=48, sigma=0.0, block=4, polish=1,
+                            adjoint_method="sibk", adjoint_rtol=1e-11,
+                            nrestart=3)
+        theta = jnp.asarray(0.1 * np.random.default_rng(3).uniform(size=n))
+        rng = np.random.default_rng(4)
+        lam_bar = jnp.asarray(rng.standard_normal(4))
+        Phi_bar = jnp.asarray(rng.standard_normal((n, 4)))
+        fwd_f, bwd_f = staged_eigh_gen_vjp(problem, cfg, split_factor=True)
+        fwd_c, bwd_c = staged_eigh_gen_vjp(problem, cfg, chunk_forward=2,
+                                           chunk_adjoint=True)
+        g_f = bwd_f(theta, fwd_f(theta), lam_bar, Phi_bar)
+        g_c = bwd_c(theta, fwd_c(theta), lam_bar, Phi_bar)
+        scale = float(jnp.max(jnp.abs(g_f)))
+        np.testing.assert_allclose(np.asarray(g_c), np.asarray(g_f),
+                                   atol=1e-10 * scale)
