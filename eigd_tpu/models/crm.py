@@ -38,6 +38,61 @@ from ..ops.autodiff import EigProblem, EighGenConfig, eigh_gen
 from ..ops.operators import DenseOperator, ElementOperator
 
 
+def balance_node_blocks(station, conn, nb, passes=6):
+    """Rebalance the node->block assignment to cut station padding.
+
+    The block-tridiagonal factor pads every block to the LARGEST station,
+    and BCR cost scales as nb * b^3 — on the wingbox the rib stations
+    (skin ring + full rib interior) are ~2.5x the regular stations, a
+    ~15x flop inflation. But the block map is a LAYOUT choice, not a mesh
+    property: any assignment where mesh-coupled nodes sit in the same or
+    adjacent blocks is exactly block-tridiagonal. Rib-interior nodes
+    couple only within their own station, so they can legally spill into
+    the lighter neighbor blocks.
+
+    Greedy descent on the max block size: repeatedly move a node from an
+    overfull block to an adjacent lighter block when every mesh partner
+    stays within one block of the destination. Monotone (a move happens
+    only into a strictly lighter block), so adjacency is preserved
+    inductively; validated by the caller's strict adjacency check.
+    TACS/METIS partitioning plays this balancing role in the reference
+    (crm.py:62-144); here it is a ~2-4x factor-flop saving on TPU.
+    """
+    nnodes = station.shape[0]
+    nbrs = [set() for _ in range(nnodes)]
+    for e in np.asarray(conn):
+        for a in e:
+            nbrs[a].update(int(x) for x in e)
+    blocks = station.astype(np.int64).copy()
+    for _ in range(passes):
+        counts = np.bincount(blocks, minlength=nb)
+        changed = False
+        for s in np.argsort(-counts):
+            if counts[s] <= counts.mean() + 1:
+                break
+            for n in np.nonzero(blocks == s)[0]:
+                for d in (+1, -1):
+                    t = s + d
+                    if t < 0 or t >= nb or counts[t] + 1 >= counts[s]:
+                        continue
+                    if all(abs(t - blocks[p]) <= 1 for p in nbrs[n]):
+                        blocks[n] = t
+                        counts[s] -= 1
+                        counts[t] += 1
+                        changed = True
+                        break
+        if not changed:
+            break
+    # strict adjacency validation: the block-tridiag extraction silently
+    # DROPS out-of-band couplings, which would corrupt the factor
+    for e in np.asarray(conn):
+        be = blocks[e]
+        if be.max() - be.min() > 1:
+            raise AssertionError(
+                f"block balancing broke adjacency on element {e}")
+    return blocks
+
+
 def make_wingbox_mesh(nspan=8, nchord=4, nheight=2, span=10.0, c_root=3.0,
                       c_tip=1.2, h_root=0.6, h_tip=0.25, sweep=0.3,
                       nribs=3):
@@ -128,7 +183,8 @@ class CRM:
                  factor_kind="bcr_f32", nribs=None, lanczos_polish=None,
                  lanczos_block=None, lanczos_ortho="full",
                  lanczos_sweep=None, factor_jitter=1e-4,
-                 factor_tol=1e-12, factor_maxiter=200, **mesh_kw):
+                 factor_tol=1e-12, factor_maxiter=200, approx_tol=1e-5,
+                 approx_maxiter=30, adjoint_maxiter=60, **mesh_kw):
         if nribs is None:
             nribs = max(3, nspan // 8)
         X, conn, comp, names = make_wingbox_mesh(nspan, nchord, nheight,
@@ -145,6 +201,9 @@ class CRM:
         self.factor_jitter = factor_jitter
         self.factor_tol = factor_tol
         self.factor_maxiter = factor_maxiter
+        self.approx_tol = approx_tol
+        self.approx_maxiter = approx_maxiter
+        self._adjoint_maxiter = adjoint_maxiter
         self._lanczos_polish = lanczos_polish
         self._lanczos_ortho = lanczos_ortho
         self._lanczos_sweep = lanczos_sweep
@@ -158,7 +217,11 @@ class CRM:
         ys = np.unique(np.round(X[:, 1], 9))
         station_of_node = np.searchsorted(ys, np.round(X[:, 1], 9))
         self.nb = len(ys)
-        counts = np.bincount(station_of_node, minlength=self.nb)
+        # Balance the node->block map (rib interiors spill into lighter
+        # neighbor blocks) before sizing the padding: b drops ~546 -> ~350
+        # on CRM-shaped meshes, a ~(546/350)^3 ~ 3.8x BCR flop saving.
+        block_of_node = balance_node_blocks(station_of_node, conn, self.nb)
+        counts = np.bincount(block_of_node, minlength=self.nb)
         self.b_nodes = int(counts.max())
         self.b = 6 * self.b_nodes
         self.nvars = self.nb * self.b
@@ -202,10 +265,10 @@ class CRM:
         rank = np.zeros(self.nnodes, dtype=np.int64)
         seen = np.zeros(self.nb, dtype=np.int64)
         for nnd in range(self.nnodes):
-            s = station_of_node[nnd]
+            s = block_of_node[nnd]
             rank[nnd] = seen[s]
             seen[s] += 1
-        node_dof0 = station_of_node * self.b + 6 * rank
+        node_dof0 = block_of_node * self.b + 6 * rank
         dofs = np.zeros((conn.shape[0], 24), dtype=np.int32)
         for a in range(4):
             for d in range(6):
@@ -321,7 +384,9 @@ class CRM:
             inner = cls_.from_blocks(D, E)
         op = ElementOperator(shifted, self.dofs, self.nvars)
         return PCGFactor(inner, op, s, mask=self.free_mask,
-                         tol=self.factor_tol, maxiter=self.factor_maxiter)
+                         tol=self.factor_tol, maxiter=self.factor_maxiter,
+                         approx_tol=self.approx_tol,
+                         approx_maxiter=self.approx_maxiter)
 
     def _v0(self, theta):
         key = jax.random.PRNGKey(12345)
@@ -348,7 +413,8 @@ class CRM:
         mixed = self.scalable and self.adjoint_method in ("sibk", "pcpg")
         self.cfg = EighGenConfig(
             N=self.N, m=self.m, sigma=float(self._sigma), mode="normal",
-            adjoint_method=self.adjoint_method, adjoint_maxiter=60,
+            adjoint_method=self.adjoint_method,
+            adjoint_maxiter=self._adjoint_maxiter,
             adjoint_rtol=self.rtol * 1e-2, nrestart=12 if mixed else 2,
             adjoint_mixed=mixed,
             eig_atol=self.eig_atol, polish=self._lanczos_polish,
