@@ -183,8 +183,8 @@ class CRM:
                  factor_kind="bcr_f32", nribs=None, lanczos_polish=None,
                  lanczos_block=None, lanczos_ortho="full",
                  lanczos_sweep=None, factor_jitter=1e-4,
-                 factor_tol=1e-12, factor_maxiter=200, approx_tol=1e-5,
-                 approx_maxiter=30, adjoint_maxiter=60, **mesh_kw):
+                 factor_tol=1e-12, factor_maxiter=200, approx_tol=1e-8,
+                 approx_maxiter=80, adjoint_maxiter=60, **mesh_kw):
         if nribs is None:
             nribs = max(3, nspan // 8)
         X, conn, comp, names = make_wingbox_mesh(nspan, nchord, nheight,
@@ -236,7 +236,7 @@ class CRM:
             # where its lower m-for-convergence wins. Gate on the PADDED
             # nvars — program shapes (and the fault) track it, not the
             # raw node count.
-            lanczos_block = 8 if self.nvars >= 150_000 else 1
+            lanczos_block = 8 if self.nvars >= 60_000 else 1
         self._lanczos_block = lanczos_block
         if m is None:
             # block>1 converges by the block-Krylov DEGREE m/p: below
@@ -247,7 +247,7 @@ class CRM:
                  else lanczos_block * (2 * N + 8))
         self.m = m
         at_scale = self.scalable and lanczos_block > 1 \
-            and self.nvars >= 150_000
+            and self.nvars >= 60_000
         if lanczos_sweep is None:
             # Companion defaults for the block sweep at scale: advance on
             # truncated-PCG applies (PCGFactor.approx_mv, ~1e-5) and polish
@@ -448,7 +448,7 @@ class CRM:
                 # preconditioned iterations per apply at shell
                 # conditioning).
                 chunk_fwd = (4 if (self.cfg.block > 1
-                                   and self.nvars >= 150_000) else None)
+                                   and self.nvars >= 60_000) else None)
                 self._fwd_prog, self._bwd_prog = staged_eigh_gen_vjp(
                     self.problem, self.cfg, split_factor=True,
                     chunk_adjoint=chunk, chunk_forward=chunk_fwd)

@@ -28,7 +28,15 @@ def log(*a):
 def main():
     from eigd_tpu.models.crm import CRM
 
-    crm = CRM(nspan=NSPAN, nchord=NCHORD, nheight=NHEIGHT, N=N)
+    kw = {}
+    for env, name in (("CRM_APPROX_MAXITER", "approx_maxiter"),
+                      ("CRM_APPROX_TOL", "approx_tol"),
+                      ("CRM_ADJ_MAXITER", "adjoint_maxiter"),
+                      ("CRM_M", "m")):
+        if os.environ.get(env):
+            v = os.environ[env]
+            kw[name] = float(v) if "TOL" in env else int(v)
+    crm = CRM(nspan=NSPAN, nchord=NCHORD, nheight=NHEIGHT, N=N, **kw)
     crm._ensure_cfg()
     log(f"CRM: {crm.nvars} DOF, {crm.nb} x b={crm.b}, m={crm.m} "
         f"block={crm.cfg.block} sweep={crm.cfg.lanczos_sweep} "
