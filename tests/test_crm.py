@@ -102,6 +102,48 @@ class TestWingbox:
         assert rel < 1e-5, rel
 
 
+class TestBlockBalance:
+    """balance_node_blocks invariants (the TACS/METIS partitioning role,
+    reference crm.py:62-144): the rebalanced node->block map must stay
+    exactly block-tridiagonal and must not be worse than the raw
+    station map it starts from."""
+
+    def test_balance_invariants(self):
+        from eigd_tpu.models.crm import balance_node_blocks
+
+        X, conn, comp, names = make_wingbox_mesh(nspan=24, nchord=8,
+                                                 nheight=4, nribs=5)
+        ys = np.unique(np.round(X[:, 1], 9))
+        station = np.searchsorted(ys, np.round(X[:, 1], 9))
+        nb = len(ys)
+        blocks = balance_node_blocks(station, conn, nb)
+        assert blocks.shape == station.shape
+        assert blocks.min() >= 0 and blocks.max() < nb
+        # strict adjacency: every element's nodes span <= 2 adjacent
+        # blocks, otherwise the block-tridiag extraction silently drops
+        # couplings
+        bs = np.asarray(blocks)[np.asarray(conn)]
+        assert int((bs.max(axis=1) - bs.min(axis=1)).max()) <= 1
+        # balancing must strictly shrink the padding block on a ribbed
+        # wingbox (rib stations are ~2.5x the regular ones)
+        raw_max = int(np.bincount(station, minlength=nb).max())
+        bal_max = int(np.bincount(blocks, minlength=nb).max())
+        assert bal_max < raw_max, (bal_max, raw_max)
+
+    def test_balanced_model_matches_dense_eigs(self):
+        """The balanced layout is pure bookkeeping: the scalable model's
+        eigenvalues must match a dense solve on the same ribbed mesh."""
+        m_bal = CRM(nspan=8, nchord=2, nheight=1, N=4, m=40, nribs=2,
+                    factor_kind="bcr_f32")
+        m_dense = CRM(nspan=8, nchord=2, nheight=1, N=4, m=40, nribs=2,
+                      factor_kind="dense")
+        m_bal.initialize()
+        m_dense.initialize()
+        lam_b = np.asarray(m_bal.lam)[:4]
+        lam_d = np.asarray(m_dense.lam)[:4]
+        assert np.allclose(lam_b, lam_d, rtol=1e-6), (lam_b, lam_d)
+
+
 class TestWingboxScalable:
     """Station-blocked scalable path (BCR f32 factor, masked BCs)."""
 
