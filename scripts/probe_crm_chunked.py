@@ -1,6 +1,17 @@
 """Time the CRM three-phase protocol stage by stage at large DOF with the
 host-chunked sibk adjoint (each program execution must stay under the
-tunneled v5e's measured 60 s kill — scripts/probe_watchdog*.py)."""
+tunneled v5e's measured 60 s kill — scripts/probe_watchdog*.py).
+
+Measured (r2, 2026-08-20, real v5e chip, defaults nspan=460 nchord=12
+nheight=6 -> 143,832 padded DOF after block balancing, 461 stations x
+b=312, block=8 approx sweep + polish=2, approx_tol=1e-8):
+  cold  initialize 1077 s (remote-compile dominated) -> lam[0]=1547.70
+  cold  finalize_adjoint 397 s, rounds=3, per-mode res <= 7.3e-9
+  warm  initialize 92.0 s, finalize_adjoint 47.3 s (1-core host shared
+        with a concurrent pytest run; host-chunked dispatch is the
+        contended part), compliance identical cold/warm.
+This is the first post-balance at-scale record; the pre-balance 250k run
+was 91.3 s + 54.5 s steady with a b=546 layout (see models/crm.py)."""
 import os
 import sys
 import time
