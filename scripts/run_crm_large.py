@@ -51,12 +51,16 @@ BLOCK = int(BLOCK) if BLOCK else None
 SWEEP = os.environ.get("CRM_SWEEP", "approx")
 POLISH = int(os.environ.get("CRM_POLISH", 2))
 JITTER = float(os.environ.get("CRM_JITTER", 1e-4))
-# Flagship ~1M-DOF configuration (BASELINE config #5 scale):
-#   CRM_NSPAN=1890 CRM_NCHORD=12 CRM_NHEIGHT=6 CRM_SPAN=29.38 CRM_CROOT=7
-#   -> nb=1891 stations x b=546 = 1,032,486 padded DOF. The CRM-like
+# Flagship ~1M-DOF configuration (BASELINE config #5 scale), post block
+# balancing (balance_node_blocks drops b 546 -> 312 at this cross-section):
+#   CRM_NSPAN=3200 CRM_NCHORD=12 CRM_NHEIGHT=6 CRM_SPAN=29.38 CRM_CROOT=7
+#   -> nb=3201 stations x b=312 = 998,712 padded DOF. The CRM-like
 #   span/chord keep the element aspect ratio sane at this resolution, and
 #   the f32 station-block assembly (models/crm.py:_factor) keeps the BCR
-#   build inside HBM (f64 D/E would be ~15 GB alone).
+#   build inside HBM (f64 D/E would be ~15 GB alone at the old b=546;
+#   balanced f32 blocks are ~3.7 GB). Intermediate measured points:
+#   nspan=460 -> 143,832 DOF and nspan=1000 -> 312,312 DOF
+#   (scripts/probe_crm_chunked.py docstring has the timings).
 MESH_KW = {}
 if os.environ.get("CRM_SPAN"):
     MESH_KW["span"] = float(os.environ["CRM_SPAN"])
