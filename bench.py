@@ -28,6 +28,31 @@ import jax
 import jax.numpy as jnp
 
 jax.config.update("jax_enable_x64", True)
+# Persistent compile cache: the axon tunnel's XLA compiles are the wall-clock
+# killer (round-2 driver run: 805.7 s compile vs 2.6 s steady state, rc=124).
+# The cache is pre-warmed during the round by running this script, so the
+# driver's end-of-round invocation loads the compiled executables from disk.
+_CACHE_DIR = os.environ.get(
+    "EIGD_BENCH_CACHE", os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), ".jax_cache"))
+try:
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+except Exception as e:  # pragma: no cover
+    print(f"compile cache unavailable: {e}", file=sys.stderr)
+
+# Wall-clock budget (seconds) for the whole bench process. The headline JSON
+# is printed as soon as it exists; the 1M/CRM extras only start if enough
+# budget remains (round-2 lesson: the driver timeout killed the process
+# mid-extra and no JSON was recorded at all).
+_T_START = time.perf_counter()
+BUDGET_S = float(os.environ.get("EIGD_BENCH_BUDGET", 3000))
+
+
+def _remaining():
+    return BUDGET_S - (time.perf_counter() - _T_START)
 
 NX = int(os.environ.get("EIGD_BENCH_NX", 512))
 NY = int(os.environ.get("EIGD_BENCH_NY", 256))
@@ -290,25 +315,59 @@ def cpu_baseline():
     return time.perf_counter() - t0, lam
 
 
-def run_1m_extra():
+def run_1m_extra(budget_s):
     """Flagship 1M-DOF configuration (1024x512, multigrid factor), measured
     in a fresh subprocess so the default-size bench keeps its own HBM and
-    compile-cache state. Returns a dict for the JSON 'extra' field."""
+    compile-cache state. Returns a dict for the JSON 'extra_1m' field."""
     import subprocess
 
     env = dict(os.environ, EIGD_BENCH_NX="1024", EIGD_BENCH_NY="512",
-               EIGD_BENCH_SKIP_1M="1")
-    out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                         env=env, capture_output=True, text=True,
-                         timeout=3600)
+               EIGD_BENCH_SKIP_1M="1", EIGD_BENCH_NO_BASELINE="1",
+               EIGD_BENCH_BUDGET=str(int(budget_s)))
+    t0 = time.perf_counter()
+    try:
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             timeout=budget_s)
+    except subprocess.TimeoutExpired:
+        log(f"1M extra timed out after {budget_s:.0f}s")
+        return {"error": "timeout"}
     line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
     try:
         data = json.loads(line)
         return {"dof": 1051650, "wall_s": data["value"],
-                "vs_baseline": data["vs_baseline"],
-                "fd_rel": data.get("fd_rel")}
+                "fd_rel": data.get("fd_rel"),
+                "total_s": round(time.perf_counter() - t0, 1)}
     except Exception:
         log(f"1M extra failed: rc={out.returncode} "
+            f"stderr tail: {out.stderr[-500:]}")
+        return {"error": out.returncode}
+
+
+def run_crm_extra(budget_s):
+    """CRM wingbox line (VERDICT r2 item 5): warm fwd+adjoint wall, CPU
+    ARPACK+SuperLU baseline on the same mesh, FD check. Subprocess for
+    HBM/compile isolation."""
+    import subprocess
+
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "bench_crm.py")
+    env = dict(os.environ, CRM_BUDGET=str(int(budget_s)))
+    t0 = time.perf_counter()
+    try:
+        out = subprocess.run([sys.executable, script], env=env,
+                             capture_output=True, text=True,
+                             timeout=budget_s)
+    except subprocess.TimeoutExpired:
+        log(f"CRM extra timed out after {budget_s:.0f}s")
+        return {"error": "timeout"}
+    line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
+    try:
+        data = json.loads(line)
+        data["total_s"] = round(time.perf_counter() - t0, 1)
+        return data
+    except Exception:
+        log(f"CRM extra failed: rc={out.returncode} "
             f"stderr tail: {out.stderr[-500:]}")
         return {"error": out.returncode}
 
@@ -344,12 +403,30 @@ def main():
         if np.isfinite(base_time) else None,
         "fd_rel": fd_rel,
     }
-    # Record the flagship 1M-DOF number alongside the default-size headline
-    # (BASELINE.md north star). Runs only from the default configuration;
-    # EIGD_BENCH_SKIP_1M=1 disables (e.g. for quick local runs).
+    # Print (and flush) the headline IMMEDIATELY — round 2's lesson is that
+    # anything that can delay this line (extra measurements, subprocesses)
+    # eventually does, and then the driver records no number at all.
+    print(json.dumps(result), flush=True)
+
+    # Extras: flagship 1M-DOF number (BASELINE.md north star) and the CRM
+    # wingbox, each behind the remaining wall-clock budget. They are
+    # re-printed as an ENRICHED final JSON line that repeats every headline
+    # field, so a driver that parses either the first or the last stdout
+    # line sees a valid record. EIGD_BENCH_SKIP_1M=1 disables.
     if (NX, NY) == (512, 256) and not os.environ.get("EIGD_BENCH_SKIP_1M"):
-        result["extra_1m"] = run_1m_extra()
-    print(json.dumps(result))
+        enriched = False
+        rem = _remaining()
+        if rem > 420:
+            result["extra_1m"] = run_1m_extra(rem - 120)
+            enriched = True
+        else:
+            log(f"skipping 1M extra: only {rem:.0f}s of budget left")
+        rem = _remaining()
+        if rem > 240 and not os.environ.get("EIGD_BENCH_SKIP_CRM"):
+            result["extra_crm"] = run_crm_extra(rem - 60)
+            enriched = True
+        if enriched:
+            print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

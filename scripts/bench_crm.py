@@ -1,0 +1,148 @@
+"""CRM wingbox benchmark line: one warm forward (eigensolve) + adjoint pass
+on the station-balanced scalable path, a CPU ARPACK+SuperLU baseline on the
+SAME mesh (the reference CRM pipeline shape, /root/reference/examples/crm.py:
+212-376 — TACS assembly bridged to SciPy, shift-invert eigsh, factor-apply
+budget for the adjoint), and a central-difference check of the modal-
+compliance gradient. Prints ONE JSON line on stdout; diagnostics to stderr.
+
+Defaults target ~103k padded DOF (CRM_NSPAN=330, 331 stations x b=312),
+the mid-size config measured in round 2 at 19 s + 6.9 s warm.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_enable_x64", True)
+_CACHE_DIR = os.environ.get(
+    "EIGD_BENCH_CACHE", os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache"))
+try:
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+except Exception as e:  # pragma: no cover
+    print(f"compile cache unavailable: {e}", file=sys.stderr)
+
+NSPAN = int(os.environ.get("CRM_NSPAN", 330))
+NCHORD = int(os.environ.get("CRM_NCHORD", 12))
+NHEIGHT = int(os.environ.get("CRM_NHEIGHT", 6))
+N = int(os.environ.get("CRM_N", 6))
+_T0 = time.perf_counter()
+BUDGET = float(os.environ.get("CRM_BUDGET", 1800))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _rem():
+    return BUDGET - (time.perf_counter() - _T0)
+
+
+def run_pass(crm):
+    t0 = time.perf_counter()
+    crm.initialize()
+    t_fwd = time.perf_counter() - t0
+    crm.initialize_adjoint()
+    crm.add_modal_compliance_derivative(1.0)
+    t0 = time.perf_counter()
+    crm.finalize_adjoint()
+    t_adj = time.perf_counter() - t0
+    return t_fwd, t_adj
+
+
+def cpu_baseline(crm):
+    """Reference-shaped CPU pipeline on the same mesh: sparse assembly,
+    SuperLU shift-invert ARPACK eigsh, plus the adjoint's factor-apply
+    budget (SpLuOperator counting is the reference's own cost proxy)."""
+    from scipy import sparse
+    from scipy.sparse import linalg as spla
+
+    Ke, Me = crm._element_mats(crm.x)
+    Ke = np.asarray(Ke)
+    Me = np.asarray(Me)
+    dofs = np.asarray(crm.dofs)
+    n = crm.nvars
+    rows = np.repeat(dofs, 24, axis=1).reshape(-1)
+    cols = np.tile(dofs, (1, 24)).reshape(-1)
+    free = np.asarray(crm.free)
+
+    t0 = time.perf_counter()
+    K = sparse.coo_matrix((Ke.reshape(-1), (rows, cols)),
+                          shape=(n, n)).tocsr()[free][:, free].tocsc()
+    M = sparse.coo_matrix((Me.reshape(-1), (rows, cols)),
+                          shape=(n, n)).tocsr()[free][:, free].tocsc()
+    lu = spla.splu(K)
+    OPinv = spla.LinearOperator(K.shape, matvec=lu.solve)
+    lam, Q = spla.eigsh(K, k=N, M=M, sigma=0.0, which="LM", OPinv=OPinv)
+    # adjoint-equivalent factor applications (mirrors bench.py cpu_baseline)
+    rng = np.random.default_rng(0)
+    for _ in range(120):
+        lu.solve(rng.standard_normal(K.shape[0]))
+    lu.solve(rng.standard_normal((K.shape[0], N)))
+    return time.perf_counter() - t0, lam
+
+
+def main():
+    from eigd_tpu.models.crm import CRM
+
+    crm = CRM(nspan=NSPAN, nchord=NCHORD, nheight=NHEIGHT, N=N)
+    crm._ensure_cfg()
+    log(f"CRM bench: {crm.nvars} padded DOF, {crm.nb} stations x b={crm.b}, "
+        f"m={crm.m} block={crm.cfg.block} sweep={crm.cfg.lanczos_sweep}")
+
+    t_fwd, t_adj = run_pass(crm)  # cold: compile (cached) + run
+    log(f"cold pass: fwd {t_fwd:.1f}s adj {t_adj:.1f}s "
+        f"lam[:3]={np.asarray(crm.lam[:3])}")
+    t_fwd, t_adj = run_pass(crm)  # warm: the measured number
+    wall = t_fwd + t_adj
+    comp = float(crm.get_modal_compliance())
+    log(f"warm pass: fwd {t_fwd:.1f}s adj {t_adj:.1f}s "
+        f"compliance={comp:.8e}")
+
+    fd_rel = None
+    if not os.environ.get("CRM_NO_FD") and _rem() > 4 * wall + 60:
+        pert = np.random.default_rng(7).uniform(size=crm.ncomp)
+        ans = float(jnp.asarray(pert) @ crm.xb)
+        h = float(os.environ.get("CRM_FD_H", 1e-5))
+        vals = []
+        for s in (+1.0, -1.0):
+            c2 = CRM(nspan=NSPAN, nchord=NCHORD, nheight=NHEIGHT, N=N)
+            c2.x = crm.x + s * h * jnp.asarray(pert)
+            # reuse the compiled programs (same shapes/config)
+            c2.cfg = crm.cfg
+            c2._fwd_prog, c2._bwd_prog = crm._fwd_prog, crm._bwd_prog
+            c2.initialize()
+            vals.append(float(c2.get_modal_compliance()))
+        fd = (vals[0] - vals[1]) / (2 * h)
+        fd_rel = abs(ans - fd) / abs(fd)
+        log(f"FD h={h:.0e}: adjoint={ans:.10e} fd={fd:.10e} rel={fd_rel:.3e}")
+
+    base = float("nan")
+    if not os.environ.get("CRM_NO_BASELINE") and _rem() > 120:
+        try:
+            base, lam_cpu = cpu_baseline(crm)
+            log(f"CPU baseline: {base:.1f}s lam={lam_cpu[:3]}")
+        except Exception as e:  # pragma: no cover
+            log(f"CPU baseline failed: {e}")
+
+    print(json.dumps({
+        "metric": f"CRM wingbox: {N} eigenpairs + adjoint gradient, "
+                  f"{crm.nvars} padded DOF ({crm.nb} stations x b={crm.b})",
+        "value": round(wall, 3), "unit": "s",
+        "vs_baseline": round(base / wall, 3) if np.isfinite(base) else None,
+        "fd_rel": fd_rel}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
