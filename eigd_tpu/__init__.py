@@ -57,7 +57,8 @@ from .ops.adjoint import (  # noqa: E402
     eval_adjoint_residual_norm,
     are_eigenvalues_repeated,
 )
-from .ops.autodiff import eigh_gen, eigh_gen_dense  # noqa: E402
+from .ops.autodiff import (eigh_gen, eigh_gen_dense,  # noqa: E402
+                           eigh_gen_fwdmode)
 
 __all__ = [
     "DenseOperator",
@@ -89,4 +90,5 @@ __all__ = [
     "are_eigenvalues_repeated",
     "eigh_gen",
     "eigh_gen_dense",
+    "eigh_gen_fwdmode",
 ]

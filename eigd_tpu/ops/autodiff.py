@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from . import adjoint as adj
-from .collective import psum
+from .collective import pdot, psum
 from .factor import make_shift_factor
 from .lanczos import lanczos_solve
 from .operators import as_operator
@@ -339,6 +339,113 @@ def _eigh_gen_bwd(problem, cfg, saved, cotangents):
 
 
 eigh_gen.defvjp(_eigh_gen_fwd, _eigh_gen_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Forward-mode entry point: jax.jvp through the eigensolve
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(1, 2))
+def eigh_gen_fwdmode(theta, problem: EigProblem, cfg: EighGenConfig):
+    """``eigh_gen`` with a *forward-mode* (custom_jvp) derivative rule.
+
+    This is the TPU-native replacement for the reference's complex-step
+    channel (BasicLanczos._eigh propagates an imaginary perturbation as an
+    analytic forward-mode derivative of the eigendecomposition,
+    eigenvector_derivatives.py:1387-1414): ``jax.jvp`` of any objective
+    through this function yields the exact directional derivative, usable
+    as a machine-precision oracle against the reverse-mode ``eigh_gen``.
+
+    Same primal as :func:`eigh_gen`; JAX does not allow one callable to
+    carry both a custom VJP and a custom JVP, hence the paired entry point.
+
+    Tangent rule (normal mode; B-orthonormal eigenvectors):
+      dlam_i = phi_i^T (dA - lam_i dB) phi_i
+      dphi_i = v_i + sum_{j in solved} c_ij phi_j,  where v_i solves the
+        projected singular system (A - lam_i B) v_i = -(I - B Phi Phi^T) W_i
+        with W_i = (dA - lam_i dB) phi_i (the SAME linear systems as the
+        adjoint — solved by the configured adjoint method), and for the
+        solved modes c_ij = (phi_j^T W_i)/(lam_i - lam_j) for distinct
+        pairs, c_ij = -1/2 phi_j^T dB phi_i inside numerically repeated
+        clusters and on the diagonal (the degenerate-rotation suppression
+        of the dense oracle, :func:`eigh_gen_directional_oracle`).
+    """
+    A, B = problem.assemble(theta)
+    lam, Phi, _ = _forward_ops(theta, problem, A, B, cfg)
+    return lam, Phi
+
+
+@eigh_gen_fwdmode.defjvp
+def _eigh_gen_fwdmode_jvp(problem, cfg, primals, tangents):
+    (theta,) = primals
+    (dtheta,) = tangents
+    if cfg.mode != "normal":
+        raise NotImplementedError(
+            "eigh_gen_fwdmode currently supports mode='normal' only "
+            "(the NF/thermal verification families); use the reverse-mode "
+            "eigh_gen or the dense oracle for buckling.")
+    A, B = problem.assemble(theta)
+    A, B = _pallas_ops(A, B, cfg)
+    lam, Phi, (res, factor) = _forward_ops(theta, problem, A, B, cfg)
+
+    # Tangent operators via linearity of mv in the assembled matrix data:
+    # jvp through assemble gives dA, dB applied to the solved eigenvectors.
+    def apply_both(th):
+        A2, B2 = problem.assemble(th)
+        return A2.mv(Phi), B2.mv(Phi)
+
+    (_, _), (dAP, dBP) = jax.jvp(apply_both, (theta,), (dtheta,))
+    W = dAP - dBP * lam[None, :]  # W[:, i] = (dA - lam_i dB) phi_i
+    dlam = psum(jnp.sum(Phi * W, axis=0), cfg.axis)
+
+    # Unsolved-space component: the same projected singular systems as the
+    # reverse pass, with RHS built from W instead of the cotangent seed.
+    # sibk/pcpg/pgmres fold the distinct solved-pair couplings
+    # (phi_j^T W_i)/(lam_i - lam_j) into psi via generate_adjoint_correction
+    # (its G = -Phi^T W convention gives exactly that coefficient); the
+    # repeated-cluster Xi/Eta data is adjoint-specific and discarded here.
+    method = cfg.adjoint_method if cfg.adjoint_method in (
+        "sibk", "pcpg", "pgmres", "laa") else "sibk"
+    psi0 = adj.laa(W, B, factor, res, b_ortho=True, mode=cfg.mode,
+                   axis=cfg.axis,
+                   approx=(cfg.adjoint_mixed and method in ("sibk", "pcpg")))
+    if method == "laa":
+        psi, _ = adj.generate_adjoint_correction(
+            lam, Phi, psi0, Phib=W, eig_atol=cfg.eig_atol, mode=cfg.mode,
+            axis=cfg.axis)
+    elif method == "pcpg":
+        precond = None
+        if cfg.adjoint_mixed:
+            precond = (getattr(factor, "precond_mv", None)
+                       or getattr(factor, "approx_mv", None))
+        psi, _, _ = adj.pcpg(
+            W, A, B, lam, Phi, mode=cfg.mode, psi=psi0, factor=factor,
+            rtol=cfg.adjoint_rtol, eig_atol=cfg.eig_atol,
+            maxiter=cfg.adjoint_maxiter, axis=cfg.axis, precond=precond)
+    elif method == "pgmres":
+        psi, _, _ = adj.pgmres(
+            W, A, B, lam, Phi, mode=cfg.mode, psi=psi0, factor=factor,
+            rtol=cfg.adjoint_rtol, eig_atol=cfg.eig_atol,
+            maxiter=cfg.adjoint_maxiter, axis=cfg.axis)
+    else:
+        psi, _, _ = adj.sibk(
+            W, A, B, lam, Phi, mode=cfg.mode, psi=psi0, sigma=res.sigma,
+            factor=factor, rtol=cfg.adjoint_rtol, eig_atol=cfg.eig_atol,
+            maxiter=cfg.adjoint_maxiter, nrestart=cfg.nrestart,
+            axis=cfg.axis, mixed=cfg.adjoint_mixed,
+            ladder=cfg.adjoint_ladder)
+
+    # Solved-subspace terms the projected solve cannot carry: inside
+    # numerically repeated clusters (and on the diagonal — the
+    # B-normalization tangent phi_i^T B dphi_i = -1/2 phi_i^T dB phi_i)
+    # the surviving coupling is the symmetric -dB/2 part.
+    dBG = pdot(Phi.T, dBP, cfg.axis)  # (N, N) = Phi^T dB Phi
+    diff = lam[:, None] - lam[None, :]
+    close = jnp.abs(diff) < cfg.eig_atol  # includes the diagonal
+    Cd = jnp.where(close, -0.5 * dBG, 0.0)
+    dPhi = psi + Phi @ Cd
+    return (lam, Phi), (dlam, dPhi)
 
 
 def staged_value_and_grad(pre, tail, problem: EigProblem,
