@@ -7,7 +7,6 @@ reduced throughput); f64 LU is NOT supported by XLA:TPU, which is why every
 factorization in eigd_tpu.ops.factor is Cholesky- or eigh-based.
 """
 
-import dataclasses
 import os
 
 import jax
@@ -69,29 +68,3 @@ if not os.environ.get("EIGD_TPU_NO_COMPILE_CACHE"):
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:  # pragma: no cover - cache is best-effort
         pass
-
-
-@dataclasses.dataclass(frozen=True)
-class SolverConfig:
-    """Forward eigensolver configuration (mirrors the knobs of the reference
-    BasicLanczos, /root/reference/eigd/eigenvector_derivatives.py:1360-1385)."""
-
-    N: int = 10  # number of eigenpairs to return
-    m: int = 60  # Lanczos subspace size (static bound)
-    tol: float = 1e-14  # eigenvalue convergence tolerance |beta_m Y[m-1,j]|
-    eig_atol: float = 1e-5  # tolerance for detecting repeated eigenvalues
-    mode: str = "normal"  # "normal" (freq/thermal) or "buckling"
-    seed: int = 12345  # start-vector RNG seed (fixed for determinism)
-
-
-@dataclasses.dataclass(frozen=True)
-class AdjointConfig:
-    """Eigenvector-adjoint solver configuration (reference solve_adjoint,
-    eigenvector_derivatives.py:1652-1797)."""
-
-    method: str = "sibk"  # sibk | laa | pcpg | pgmres | dl
-    rtol: float = 1e-10
-    atol: float = 1e-30
-    maxiter: int = 50
-    nrestart: int = 2
-    lanczos_guess: bool = True

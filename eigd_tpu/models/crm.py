@@ -197,6 +197,12 @@ class CRM:
         self.nnodes = X.shape[0]
         self.E, self.nu, self.rho = E, nu, rho
         self.N = N
+        if factor_kind not in ("cholesky", "bcr", "bcr_f32",
+                               "blocktridiag", "blocktridiag_f32"):
+            raise ValueError(
+                f"Unknown factor_kind {factor_kind!r}; expected 'cholesky' "
+                "(dense small-problem oracle) or one of the scalable "
+                "block-tridiagonal kinds 'bcr[_f32]'/'blocktridiag[_f32]'.")
         self.factor_kind = factor_kind
         self.factor_jitter = factor_jitter
         self.factor_tol = factor_tol

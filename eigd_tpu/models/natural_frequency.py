@@ -287,6 +287,37 @@ class TopologyAnalysis:
         self.Qb = jnp.zeros_like(self.Q)
         return
 
+    # ------------------------------------------------------------------
+    # Checkpoint / warm restart (beyond-reference, SURVEY.md §5.4)
+    # ------------------------------------------------------------------
+
+    def save_state(self, path):
+        """Checkpoint the optimization-loop state (design + eigenpairs).
+
+        Restoring in a fresh process resumes the loop where it stopped AND
+        re-arms the eigenvector sign-continuity logic (reference
+        natural_frequency.py:386-390): the checkpointed Q becomes the
+        "previous iterate" that the next initialize() aligns signs against,
+        so gradients of |.|^2-type aggregates stay continuous across the
+        restart boundary.
+        """
+        from ..utils.checkpoint import save_checkpoint
+
+        return save_checkpoint(path, {"x": self.x, "lam": self.lam,
+                                      "Q": self.Q})
+
+    def restore_state(self, path):
+        from ..utils.checkpoint import load_checkpoint
+
+        like = {"x": jnp.zeros_like(jnp.asarray(self.x)),
+                "lam": jnp.zeros(self.N),
+                "Q": jnp.zeros((self.nvars, self.N))}
+        state = load_checkpoint(path, like)
+        self.x = jnp.asarray(state["x"])
+        self.lam = jnp.asarray(state["lam"])
+        self.Q = jnp.asarray(state["Q"])
+        return self
+
     def finalize_adjoint(self):
         t0 = time.time()
         Qb = self.Qb * self._signs[None, :]

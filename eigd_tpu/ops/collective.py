@@ -26,11 +26,6 @@ def pdot(x, y, axis):
     return psum(x @ y, axis)
 
 
-def pcolnorms2(X, axis):
-    """Squared column norms of a DOF-sharded (n, k) block."""
-    return psum(jnp.sum(X * X, axis=0), axis)
-
-
 def chunked_dot_f32(X, w, axis=None, chunk=8192):
     """(m, n) @ (n, p) contraction in f32 with f64 accumulation across n-chunks.
 

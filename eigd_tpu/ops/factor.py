@@ -15,9 +15,10 @@ LU, but it does have f64 Cholesky and eigh, so the TPU-native designs are:
   preconditioner, for problems too large to densify; tolerances integrate with
   the adjoint solvers exactly as an exact factor does.
 
-All factors are pytrees, apply to (n,) vectors or (n, k) blocks, and carry an
-``ops_count`` so the profiling layer can mirror the reference's
-``SpLuOperator.count`` (eigenvector_derivatives.py:16-22) without host sync.
+All factors are pytrees and apply to (n,) vectors or (n, k) blocks. Apply
+counting — the role of the reference's ``SpLuOperator.count``
+(eigenvector_derivatives.py:16-22) — lives in
+``eigd_tpu.utils.profile.FactorCounter``, which wraps any factor.
 """
 
 from __future__ import annotations

@@ -136,7 +136,7 @@ class TestBlockBalance:
         m_bal = CRM(nspan=8, nchord=2, nheight=1, N=4, m=40, nribs=2,
                     factor_kind="bcr_f32")
         m_dense = CRM(nspan=8, nchord=2, nheight=1, N=4, m=40, nribs=2,
-                      factor_kind="dense")
+                      factor_kind="cholesky")
         m_bal.initialize()
         m_dense.initialize()
         lam_b = np.asarray(m_bal.lam)[:4]

@@ -209,6 +209,96 @@ def _serial_objective(nx, ny, N, m, sigma, qweight, fltr, grid):
     return objective
 
 
+class TestGradientParityFast:
+    """Default-suite (non-slow) parity tier: every sharded family's gradient
+    is exercised on every `pytest tests/` run (VERDICT r2 item 4 — as
+    shipped in r2, a sharded-adjoint regression would have passed CI).
+    Sizes are the smallest that keep the solvers honest; the larger
+    originals below stay slow-gated."""
+
+    def test_nf_serial_vs_sharded_gradient_small(self, mesh):
+        nx, ny, N = 10, 4, 2
+        obj_sh, fltr, mesh2, part = make_sharded_objective(
+            NDEV, nx, ny, N=N, m=32, cg_maxiter=200, mesh=mesh,
+            adjoint_maxiter=30)
+        grid = make_grid(nx, ny, 2.0, 1.0)
+        obj_se = _serial_objective(nx, ny, N, 32, -10.0, 1e-3, fltr, grid)
+
+        x0 = 0.8 * jnp.ones(fltr.num_design_vars) + 0.1 * jnp.sin(
+            jnp.arange(fltr.num_design_vars, dtype=jnp.float64))
+        with mesh:
+            v_sh, g_sh = jax.value_and_grad(obj_sh)(x0)
+        v_se, g_se = jax.value_and_grad(obj_se)(x0)
+        assert abs(float(v_sh) - float(v_se)) / abs(float(v_se)) < 1e-6
+        scale = float(jnp.max(jnp.abs(g_se)))
+        np.testing.assert_allclose(np.asarray(g_sh) / scale,
+                                   np.asarray(g_se) / scale, atol=1e-6)
+
+    def test_thermal_sharded_gradient_small(self, mesh):
+        from eigd_tpu.parallel.sharded import make_sharded_thermal_objective
+
+        nx, ny, N = 8, 4, 2
+        obj_sh, fltr, mesh2, part = make_sharded_thermal_objective(
+            NDEV, nx, ny, N=N, m=24, mesh=mesh, cg_maxiter=300,
+            adjoint_maxiter=30)
+        x0 = 0.8 * jnp.ones(fltr.num_design_vars) + 0.1 * jnp.sin(
+            jnp.arange(fltr.num_design_vars, dtype=jnp.float64))
+        with mesh:
+            v_sh, g_sh = jax.value_and_grad(obj_sh)(x0)
+        pert = jnp.asarray(np.random.default_rng(7).uniform(size=x0.shape))
+        h = 1e-6
+        with mesh:
+            vp = obj_sh(x0 + h * pert)
+            vm = obj_sh(x0 - h * pert)
+        fd = (float(vp) - float(vm)) / (2 * h)
+        ans = float(pert @ g_sh)
+        assert abs(ans - fd) / abs(fd) < 1e-6, (ans, fd)
+
+    def test_buckling_sharded_gradient_small(self, mesh):
+        from eigd_tpu.parallel.sharded import make_sharded_buckling_objective
+
+        nx, ny, N = 8, 4, 1
+        obj_sh, fltr, mesh2, part = make_sharded_buckling_objective(
+            NDEV, nx, ny, N=N, m=20, mesh=mesh, sigma=0.008,
+            adjoint_maxiter=25, ks_rho=160.0, load_frac=0.3)
+        x0 = 0.6 * jnp.ones(fltr.num_design_vars) + 0.05 * jnp.sin(
+            jnp.arange(fltr.num_design_vars, dtype=jnp.float64))
+        with mesh:
+            v_sh, g_sh = jax.value_and_grad(obj_sh)(x0)
+        pert = jnp.asarray(np.random.default_rng(7).uniform(size=x0.shape))
+        h = 1e-6
+        with mesh:
+            vp = obj_sh(x0 + h * pert)
+            vm = obj_sh(x0 - h * pert)
+        fd = (float(vp) - float(vm)) / (2 * h)
+        ans = float(pert @ g_sh)
+        assert abs(ans - fd) / abs(fd) < 1e-6, (ans, fd)
+
+    def test_crm_serial_vs_sharded_gradient_small(self, mesh):
+        from eigd_tpu.parallel.sharded import make_sharded_crm_objective
+
+        obj_sh, crm_sh, mesh2, part = make_sharded_crm_objective(
+            NDEV, nspan=6, nchord=3, nheight=1, N=2, m=32, mesh=mesh)
+        t0 = jnp.asarray(crm_sh.x)
+        with mesh:
+            v_sh, g_sh = jax.value_and_grad(obj_sh)(t0)
+
+        from eigd_tpu.models.crm import CRM
+
+        crm = CRM(nspan=6, nchord=3, nheight=1, N=2, m=32)
+        crm.initialize()
+        v_se = float(crm.get_modal_compliance())
+        crm.initialize_adjoint()
+        crm.add_modal_compliance_derivative(1.0)
+        crm.finalize_adjoint()
+        g_se = np.asarray(crm.xb)
+
+        assert abs(float(v_sh) - v_se) / abs(v_se) < 1e-6
+        scale = float(np.max(np.abs(g_se)))
+        np.testing.assert_allclose(np.asarray(g_sh) / scale, g_se / scale,
+                                   atol=1e-6)
+
+
 class TestGradientParity:
     @pytest.mark.slow
     def test_serial_vs_sharded_gradient(self, mesh):
