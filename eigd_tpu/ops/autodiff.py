@@ -79,6 +79,13 @@ class EighGenConfig:
     # of the adjoint's mixed ladder. Requires polish >= 1 to be useful; the
     # factor's accurate mv is then applied only polish times instead of
     # once per block step. Block path only (block > 1).
+    measure_eig_res: bool = False  # block solver, polish == 0: measure the
+    # TRUE pencil residual of the selected block at extraction (two thin
+    # operator applies) into LanczosResult.eig_res_measured, so downstream
+    # convergence gates never rely on the coupling-bound estimate — which
+    # under lanczos_ortho="local" + lanczos_sweep="approx" can understate
+    # the true residual by orders. With polish >= 1 the measurement is
+    # already free (polish_ritz_block) and this flag is redundant.
     pallas_mv: str = "auto"  # attach Pallas split-plane stencil forms to
     # grid operators at the solver boundary (_pallas_ops): solver-side f64
     # A.mv/B.mv then run on the compensated double-float kernel instead of
@@ -283,7 +290,8 @@ def _forward_ops(theta, problem, A, B, cfg):
                                   check_every=cfg.lanczos_check_every,
                                   polish=cfg.polish,
                                   polish_spare=cfg.polish_spare,
-                                  sweep=cfg.lanczos_sweep)
+                                  sweep=cfg.lanczos_sweep,
+                                  measure_res=cfg.measure_eig_res)
     else:
         res = lanczos_solve(A, B, factor, cfg.sigma, cfg.N, cfg.m,
                             mode=cfg.mode, seed=cfg.seed, deflate=deflate,
@@ -657,7 +665,8 @@ def staged_eigh_gen_vjp(problem: EigProblem, cfg: EighGenConfig,
                     axis=cfg.axis, tol=cfg.lanczos_tol, v0=v0,
                     ortho=cfg.lanczos_ortho,
                     check_every=cfg.lanczos_check_every, polish=cfg.polish,
-                    polish_spare=cfg.polish_spare, sweep=cfg.lanczos_sweep)
+                    polish_spare=cfg.polish_spare, sweep=cfg.lanczos_sweep,
+                    measure_res=cfg.measure_eig_res)
             else:
                 res = lanczos_solve(
                     A, B, factor, cfg.sigma, cfg.N, cfg.m, mode=cfg.mode,

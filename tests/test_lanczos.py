@@ -669,3 +669,69 @@ class TestChunkedForward:
         scale = float(jnp.max(jnp.abs(g_f)))
         np.testing.assert_allclose(np.asarray(g_c), np.asarray(g_f),
                                    atol=1e-10 * scale)
+
+
+class TestMeasuredResidual:
+    """VERDICT r2 item 7: under ortho='local' + sweep='approx' the block
+    coupling bound measures convergence to the INEXACTLY applied operator
+    and can understate the true pencil residual by orders; measure_res=True
+    records the true residual in eig_res_measured."""
+
+    def _setup(self, n=96, seed=0):
+        from eigd_tpu.ops.factor import make_shift_factor
+
+        rng = np.random.default_rng(seed)
+        Qm, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        w = np.concatenate([np.linspace(1.0, 6.0, 8),
+                            np.linspace(40.0, 200.0, n - 8)])
+        A = jnp.asarray(Qm @ np.diag(w) @ Qm.T)
+        B = jnp.eye(n)
+        sigma = -1.0
+        exact = make_shift_factor(A, B, sigma, mode="normal",
+                                  kind="cholesky")
+        E = rng.standard_normal((n, n)) * 1e-4
+        E = jnp.asarray(0.5 * (E + E.T))
+
+        class InexactFactor:
+            """Exact .mv; .approx_mv = a LINEAR inexact apply (exact + fixed
+            symmetric perturbation), modelling a preconditioner-quality
+            solve the sweep converges cleanly against."""
+
+            def mv(self, x):
+                return exact.mv(x)
+
+            def approx_mv(self, x):
+                return exact.mv(x) + E @ x
+
+        return A, B, sigma, InexactFactor()
+
+    def test_bound_understates_measurement_catches(self):
+        from eigd_tpu.ops.lanczos import block_lanczos_solve
+
+        A, B, sigma, factor = self._setup()
+        res = block_lanczos_solve(A, B, factor, sigma, N=4, m=64, p=4,
+                                  ortho="local", sweep="approx",
+                                  polish=0, measure_res=True)
+        bound = np.asarray(res.eig_res)
+        measured = np.asarray(res.eig_res_measured)
+        # the sweep converges against the inexact operator: tiny bound
+        assert bound.max() < 1e-6, bound
+        # but the true pencil residual floors at the apply inexactness
+        assert measured.max() > 50 * bound.max(), (bound, measured)
+        # and the measurement is the real thing
+        direct = np.linalg.norm(
+            np.asarray(A) @ np.asarray(res.Phi)
+            - np.asarray(B) @ np.asarray(res.Phi)
+            * np.asarray(res.lam)[None, :], axis=0)
+        np.testing.assert_allclose(measured, direct, rtol=1e-10)
+
+    def test_polish_records_measured(self):
+        from eigd_tpu.ops.lanczos import block_lanczos_solve
+
+        A, B, sigma, factor = self._setup()
+        res = block_lanczos_solve(A, B, factor, sigma, N=4, m=64, p=4,
+                                  ortho="local", sweep="approx",
+                                  polish=1)
+        assert res.eig_res_measured is not None
+        np.testing.assert_array_equal(np.asarray(res.eig_res_measured),
+                                      np.asarray(res.eig_res))
