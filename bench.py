@@ -158,7 +158,10 @@ def make_topo():
                       m=M_LANCZOS, factor_kind=FACTOR,
                       lanczos_tol=LANCZOS_TOL,
                       lanczos_block=BLOCK, lanczos_ortho=ORTHO,
-                      lanczos_check_every=2, rtol=1e-7, sigma=SIGMA,
+                      lanczos_check_every=2,
+                      rtol=float(os.environ.get("EIGD_BENCH_ADJ_RTOL",
+                                                1e-7)),
+                      sigma=SIGMA,
                       factor_options=fo, lanczos_polish=POLISH,
                       lanczos_polish_spare=int(os.environ.get(
                           "EIGD_BENCH_POLISH_SPARE", 0)),

@@ -214,7 +214,10 @@ class TestGradientParityFast:
     is exercised on every `pytest tests/` run (VERDICT r2 item 4 — as
     shipped in r2, a sharded-adjoint regression would have passed CI).
     Sizes are the smallest that keep the solvers honest; the larger
-    originals below stay slow-gated."""
+    originals below stay slow-gated. Wall cost on the 1-core host is
+    XLA-compile-dominated (~4-7 min cold, ~2-4 min with the persistent
+    compile cache warm), not size-dominated — shrinking further buys
+    nothing."""
 
     def test_nf_serial_vs_sharded_gradient_small(self, mesh):
         nx, ny, N = 10, 4, 2
@@ -274,10 +277,7 @@ class TestGradientParityFast:
         ans = float(pert @ g_sh)
         assert abs(ans - fd) / abs(fd) < 1e-6, (ans, fd)
 
-    def test_crm_sharded_gradient_small(self, mesh):
-        """FD consistency of the station-sharded wingbox gradient (the
-        serial-vs-sharded parity version stays in the slow tier — the
-        serial CRM twin costs a second compile chain)."""
+    def test_crm_serial_vs_sharded_gradient_small(self, mesh):
         from eigd_tpu.parallel.sharded import make_sharded_crm_objective
 
         obj_sh, crm_sh, mesh2, part = make_sharded_crm_objective(
@@ -285,14 +285,21 @@ class TestGradientParityFast:
         t0 = jnp.asarray(crm_sh.x)
         with mesh:
             v_sh, g_sh = jax.value_and_grad(obj_sh)(t0)
-        pert = jnp.asarray(np.random.default_rng(7).uniform(size=t0.shape))
-        h = 1e-7 * float(t0[0])
-        with mesh:
-            vp = obj_sh(t0 + h * pert)
-            vm = obj_sh(t0 - h * pert)
-        fd = (float(vp) - float(vm)) / (2 * h)
-        ans = float(pert @ g_sh)
-        assert abs(ans - fd) / abs(fd) < 1e-6, (ans, fd)
+
+        from eigd_tpu.models.crm import CRM
+
+        crm = CRM(nspan=6, nchord=3, nheight=1, N=2, m=32)
+        crm.initialize()
+        v_se = float(crm.get_modal_compliance())
+        crm.initialize_adjoint()
+        crm.add_modal_compliance_derivative(1.0)
+        crm.finalize_adjoint()
+        g_se = np.asarray(crm.xb)
+
+        assert abs(float(v_sh) - v_se) / abs(v_se) < 1e-6
+        scale = float(np.max(np.abs(g_se)))
+        np.testing.assert_allclose(np.asarray(g_sh) / scale, g_se / scale,
+                                   atol=1e-6)
 
 
 class TestGradientParity:
