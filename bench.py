@@ -57,7 +57,9 @@ def _remaining():
 NX = int(os.environ.get("EIGD_BENCH_NX", 512))
 NY = int(os.environ.get("EIGD_BENCH_NY", 256))
 N_MODES = 6
-BLOCK = 8  # forward Lanczos block size: 8 Krylov vectors per factor apply
+# forward Lanczos block size: Krylov vectors per factor apply. The factor
+# apply is latency-bound, so fatter blocks shorten the sequential chain.
+BLOCK = int(os.environ.get("EIGD_BENCH_BLOCK", 8))
 M_LANCZOS = int(os.environ.get("EIGD_BENCH_M", BLOCK * 22))
 # adaptive exit typically stops around 14-17 blocks; EIGD_BENCH_LANCZOS_TOL
 # "none" disables the adaptive exit (fixed trip count M_LANCZOS/BLOCK blocks
@@ -258,11 +260,19 @@ def tpu_run():
             log(f"FD h={h:.0e}: adjoint={ans:.10e} fd={fd:.10e} "
                 f"rel={rel:.3e}")
             fd_rel = rel if fd_rel is None else min(fd_rel, rel)
+        rich = {}
         for h in hs:
             if h / 2 in fds:
                 r4 = (4.0 * fds[h / 2] - fds[h]) / 3.0
+                rich[h] = r4
                 rel = abs(ans - r4) / abs(r4)
                 log(f"FD richardson h={h:.0e}: fd4={r4:.10e} rel={rel:.3e}")
+                fd_rel = min(fd_rel, rel)
+        for h in rich:
+            if h / 2 in rich:
+                r6 = (16.0 * rich[h / 2] - rich[h]) / 15.0
+                rel = abs(ans - r6) / abs(r6)
+                log(f"FD richardson2 h={h:.0e}: fd6={r6:.10e} rel={rel:.3e}")
                 fd_rel = min(fd_rel, rel)
     return min(times), float(v), np.asarray(g), fd_rel
 
