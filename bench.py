@@ -121,8 +121,17 @@ def make_topo():
     # ~1e-2/round contraction floor at this size; 1e-9 + the self-
     # calibrating round exits keep the FD check at ~1e-6 for half the cost
     fo = ({"rtol": float(os.environ.get("EIGD_BENCH_RTOL", 1e-11)),
+           "maxiter": int(os.environ.get("EIGD_BENCH_MG_MAXITER", 60)),
            "approx_rtol": APPROX_RTOL,
            "approx_maxiter": APPROX_MAXITER,
+           # forward-sweep apply channel: f32 solves driven to the machine
+           # floor (rtol 0) — the FD-check noise floor of the objective
+           # tracks sweep apply quality (measured: fd_rel 5.8e-6 at 1e-5
+           # vs 4.1e-7 at the floor), while the adjoint ladder keeps the
+           # cheap approx_rtol solves
+           "sweep_rtol": float(os.environ.get("EIGD_BENCH_SWEEP_RTOL", 0.0)),
+           "sweep_maxiter": int(os.environ.get(
+               "EIGD_BENCH_SWEEP_MAXITER", 24)),
            "degree": int(os.environ.get("EIGD_BENCH_MG_DEGREE", 3)),
            "stag_bad": int(os.environ.get("EIGD_BENCH_STAG", 2)),
            # V-cycle implementation: the f32 V-cycle subgraph is

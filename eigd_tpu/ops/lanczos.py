@@ -574,7 +574,11 @@ def _block_lanczos_setup(A, B, factor, sigma, N, m, p, mode="normal",
         approx_fn = (getattr(factor, "precond_mv", None)
                      or getattr(factor, "approx_mv", None))
     elif sweep == "approx":
-        approx_fn = getattr(factor, "approx_mv", None)
+        # Prefer the factor's dedicated forward-sweep channel when it has
+        # one (GridMGFactor.sweep_mv — lets the sweep run to the f32 floor
+        # while the adjoint ladder keeps cheaper approx solves).
+        approx_fn = (getattr(factor, "sweep_mv", None)
+                     or getattr(factor, "approx_mv", None))
     if approx_fn is not None:
         def apply_fn(Xb):
             return approx_fn(Xb).astype(dtype)

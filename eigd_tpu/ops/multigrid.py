@@ -298,7 +298,7 @@ class GridMGFactor:
     def __init__(self, Ws, dinvs, lmaxs, coarse_inv, W64, shapes, ndof,
                  degree=3, rtol=1e-13, maxiter=60, approx_rtol=1e-5,
                  approx_maxiter=18, stag_bad=2, vcycle="plain", Wps=None,
-                 Wdd=None):
+                 Wdd=None, sweep_rtol=None, sweep_maxiter=None):
         self.Ws = tuple(Ws)  # f32 stencils, fine -> coarse
         self.dinvs = tuple(dinvs)
         self.lmaxs = tuple(lmaxs)
@@ -313,6 +313,17 @@ class GridMGFactor:
         self.maxiter = maxiter
         self.approx_rtol = approx_rtol
         self.approx_maxiter = approx_maxiter
+        # Separate tolerances for the forward-sweep apply channel
+        # (``sweep_mv``): the forward Lanczos sweep wants the f32 solve
+        # driven to its machine floor (rtol 0.0 — the FD-verification
+        # noise floor of the objective tracks the sweep apply quality,
+        # measured 263k r3: fd_rel 5.8e-6 at approx_rtol 1e-5 vs 4.1e-7
+        # at the floor), while the adjoint's mixed ladder keeps the cheap
+        # approx_rtol solves (its outer rounds restart on true residuals,
+        # so ladder quality only trades steps per round). None = inherit
+        # the approx_* values (sweep_mv == approx_mv).
+        self.sweep_rtol = sweep_rtol
+        self.sweep_maxiter = sweep_maxiter
         self.stag_bad = stag_bad  # consecutive plateau iterations before
         # the PCG stagnation exit fires; large value = exit on tol/maxiter
         # only
@@ -338,7 +349,8 @@ class GridMGFactor:
     @classmethod
     def build(cls, W, grid_shape, ndof, min_coarse=2048, degree=3,
               rtol=1e-13, maxiter=60, approx_rtol=1e-5, approx_maxiter=18,
-              stag_bad=2, vcycle="auto", dd=True):
+              stag_bad=2, vcycle="auto", dd=True, sweep_rtol=None,
+              sweep_maxiter=None):
         """W: fine-level stencil (f64 or f32) of the SPD shifted operator.
 
         ``dd`` (pallas variant only): run the outer-PCG f64 residual matvec
@@ -409,7 +421,8 @@ class GridMGFactor:
         return cls(Ws, dinvs, lmaxs, coarse_inv, W64, shapes, ndof,
                    degree=degree, rtol=rtol, maxiter=maxiter,
                    approx_rtol=approx_rtol, approx_maxiter=approx_maxiter,
-                   stag_bad=stag_bad, vcycle=vcycle, Wps=Wps, Wdd=Wdd)
+                   stag_bad=stag_bad, vcycle=vcycle, Wps=Wps, Wdd=Wdd,
+                   sweep_rtol=sweep_rtol, sweep_maxiter=sweep_maxiter)
 
     # -- V-cycle -------------------------------------------------------------
 
@@ -670,6 +683,23 @@ class GridMGFactor:
             y = y[:, 0]
         return y
 
+    def sweep_mv(self, x):
+        """Forward-sweep apply channel: like ``approx_mv`` but at
+        (sweep_rtol, sweep_maxiter) when set — see __init__. The block
+        Lanczos sweep prefers this method when present."""
+        if self.sweep_rtol is None and self.sweep_maxiter is None:
+            return self.approx_mv(x)
+        rt = self.approx_rtol if self.sweep_rtol is None else self.sweep_rtol
+        mi = (self.approx_maxiter if self.sweep_maxiter is None
+              else self.sweep_maxiter)
+        squeeze = x.ndim == 1
+        if squeeze:
+            x = x[:, None]
+        y, _ = self._pcg(x.astype(jnp.float32), self._matvec32, rt, mi)
+        if squeeze:
+            y = y[:, 0]
+        return y
+
     def precond_mv(self, x):
         """ONE f32 V-cycle — the raw preconditioner apply (for outer Krylov
         methods that bring their own convergence control, e.g. the
@@ -690,7 +720,8 @@ class GridMGFactor:
         children = (self.Ws, self.dinvs, self.lmaxs, self.coarse_inv,
                     self.W64, self.Wps, self.Wdd)
         aux = (self.shapes, self.ndof, self.degree, self.rtol, self.maxiter,
-               self.approx_rtol, self.approx_maxiter, self.stag_bad,
+               self.approx_rtol, self.approx_maxiter, self.sweep_rtol,
+               self.sweep_maxiter, self.stag_bad,
                self.vcycle)
         return children, aux
 
@@ -698,8 +729,9 @@ class GridMGFactor:
     def tree_unflatten(cls, aux, children):
         Ws, dinvs, lmaxs, coarse_inv, W64, Wps, Wdd = children
         (shapes, ndof, degree, rtol, maxiter, approx_rtol, approx_maxiter,
-         stag_bad, vcycle) = aux
+         sweep_rtol, sweep_maxiter, stag_bad, vcycle) = aux
         return cls(Ws, dinvs, lmaxs, coarse_inv, W64, shapes, ndof,
                    degree=degree, rtol=rtol, maxiter=maxiter,
                    approx_rtol=approx_rtol, approx_maxiter=approx_maxiter,
-                   stag_bad=stag_bad, vcycle=vcycle, Wps=Wps, Wdd=Wdd)
+                   stag_bad=stag_bad, vcycle=vcycle, Wps=Wps, Wdd=Wdd,
+                   sweep_rtol=sweep_rtol, sweep_maxiter=sweep_maxiter)
