@@ -513,6 +513,11 @@ def polish_ritz_block(A, B, factor, lam, Phi, sigma, mode, deflate=None,
 
     from .jacobi import eigh_accurate
 
+    # NOTE (r3, measured): do NOT be tempted to run the intermediate
+    # polish steps on the factor's cheap apply channel — the f32-floor
+    # apply error injected into the subspace rotation contracts only ~one
+    # gap ratio per remaining step, and the 263k FD check degraded
+    # 5.2e-7 -> 1.6e-4. Every polish step uses the accurate apply.
     Wsel = None
     for _ in range(nsteps):
         Z = factor.mv(B.mv(Phi))  # (n, N); same filter in every mode
