@@ -66,8 +66,9 @@ _BIG0 = 2 * (NX + 1) * (NY + 1) >= 500_000
 # made the objective jump ~1e-6 under FD perturbations (r3). Fixed trips +
 # floor-quality sweep applies make the forward a smooth function of x.
 M_LANCZOS = int(os.environ.get("EIGD_BENCH_M",
-                               BLOCK * (18 if _BIG0 else 17)))
-_LTOL = os.environ.get("EIGD_BENCH_LANCZOS_TOL", "none")
+                               BLOCK * (22 if _BIG0 else 17)))
+_LTOL = os.environ.get("EIGD_BENCH_LANCZOS_TOL",
+                       "1e-11" if _BIG0 else "none")
 LANCZOS_TOL = None if _LTOL == "none" else float(_LTOL)
 # Factor selection: the O(n)-memory multigrid factor now wins at every
 # size (measured r2: 3.77 s vs 4.98 s for bcr_f32 at 263k DOF once the
@@ -96,19 +97,26 @@ APPROX_MAXITER = int(os.environ.get("EIGD_BENCH_APPROX_MAXITER", 18))
 # -> 1.4e-5 at 4.66 s; cheap intermediate polish steps -> 1.6e-4. The
 # default trades ~2.1 s of the r2 wall for three orders of magnitude in
 # verified gradient accuracy (the framework's headline claim).
+# 1M keeps the r2-measured economy configuration unchanged (adaptive
+# exit, approx sweep, polish=2, precond ladder — 11.9 s fwd+bwd).
+# Measured r3: the 263k accuracy recipe does NOT transfer to 1M — floor
+# sweep + no-stagnation 1e-11 applies at 1M conditioning ran the forward
+# at 39 s for fd 8e-5, and a fixed 18-block sweep under-converges there
+# (the adaptive exit runs deeper at 1M's weaker apply quality).
 _BIG = _BIG0
-POLISH = int(os.environ.get("EIGD_BENCH_POLISH", 3))
+POLISH = int(os.environ.get("EIGD_BENCH_POLISH", 2 if _BIG else 3))
 SWEEP = os.environ.get("EIGD_BENCH_SWEEP", "approx")
 LADDER = os.environ.get("EIGD_BENCH_LADDER",
                         "precond" if _BIG else "approx")
 ADJ_MAXITER = int(os.environ.get("EIGD_BENCH_ADJ_MAXITER",
                                  120 if LADDER == "precond" else 60))
 NRESTART = int(os.environ.get("EIGD_BENCH_NRESTART", 8))
-POLISH_SPARE = int(os.environ.get("EIGD_BENCH_POLISH_SPARE", 8))
+POLISH_SPARE = int(os.environ.get("EIGD_BENCH_POLISH_SPARE",
+                                  0 if _BIG else 8))
 # stagnation exits disabled by default: data-dependent plateau exits in
 # the PCG applies were an FD-noise source; accurate applies converge by
 # rtol, approx/sweep applies by tol/cap/underflow (see GridMGFactor._pcg)
-STAG = int(os.environ.get("EIGD_BENCH_STAG", 1000000))
+STAG = int(os.environ.get("EIGD_BENCH_STAG", 2 if _BIG else 1000000))
 
 
 def log(*a):
@@ -134,9 +142,10 @@ def make_topo():
            # tracks sweep apply quality (measured: fd_rel 5.8e-6 at 1e-5
            # vs 4.1e-7 at the floor), while the adjoint ladder keeps the
            # cheap approx_rtol solves
-           "sweep_rtol": float(os.environ.get("EIGD_BENCH_SWEEP_RTOL", 0.0)),
-           "sweep_maxiter": int(os.environ.get(
-               "EIGD_BENCH_SWEEP_MAXITER", 24)),
+           "sweep_rtol": (None if _BIG else float(os.environ.get(
+               "EIGD_BENCH_SWEEP_RTOL", 0.0))),
+           "sweep_maxiter": (None if _BIG else int(os.environ.get(
+               "EIGD_BENCH_SWEEP_MAXITER", 24))),
            "degree": int(os.environ.get("EIGD_BENCH_MG_DEGREE", 3)),
            "stag_bad": STAG,
            # V-cycle implementation: the f32 V-cycle subgraph is
@@ -175,8 +184,8 @@ def make_topo():
                       lanczos_tol=LANCZOS_TOL,
                       lanczos_block=BLOCK, lanczos_ortho=ORTHO,
                       lanczos_check_every=2,
-                      rtol=float(os.environ.get("EIGD_BENCH_ADJ_RTOL",
-                                                1e-8)),
+                      rtol=float(os.environ.get(
+                          "EIGD_BENCH_ADJ_RTOL", 1e-7 if _BIG else 1e-8)),
                       sigma=SIGMA,
                       factor_options=fo, lanczos_polish=POLISH,
                       lanczos_polish_spare=POLISH_SPARE,
