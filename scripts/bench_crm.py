@@ -5,8 +5,12 @@ SAME mesh (the reference CRM pipeline shape, /root/reference/examples/crm.py:
 budget for the adjoint), and a central-difference check of the modal-
 compliance gradient. Prints ONE JSON line on stdout; diagnostics to stderr.
 
-Defaults target ~103k padded DOF (CRM_NSPAN=330, 331 stations x b=312),
-the mid-size config measured in round 2 at 19 s + 6.9 s warm.
+Defaults target the ~100k-DOF configuration round 2 measured at
+19 s + 6.9 s warm (nspan=256, nchord=16, nheight=4, m=96 — the
+EIGD_RUN_SLOW test config, tests/test_crm.py::test_compliance_fd_large).
+A heavier-chord/height layout (CRM_NSPAN=330 NCHORD=12 NHEIGHT=6,
+b=312) runs ~59 s + 46 s at the same DOF — BCR cost scales as nb*b^3,
+so chord/height resolution, not span, sets the block cost.
 """
 
 import json
@@ -33,10 +37,11 @@ try:
 except Exception as e:  # pragma: no cover
     print(f"compile cache unavailable: {e}", file=sys.stderr)
 
-NSPAN = int(os.environ.get("CRM_NSPAN", 330))
-NCHORD = int(os.environ.get("CRM_NCHORD", 12))
-NHEIGHT = int(os.environ.get("CRM_NHEIGHT", 6))
+NSPAN = int(os.environ.get("CRM_NSPAN", 256))
+NCHORD = int(os.environ.get("CRM_NCHORD", 16))
+NHEIGHT = int(os.environ.get("CRM_NHEIGHT", 4))
 N = int(os.environ.get("CRM_N", 6))
+M_KRYLOV = int(os.environ.get("CRM_M", 96))
 _T0 = time.perf_counter()
 BUDGET = float(os.environ.get("CRM_BUDGET", 1800))
 
@@ -96,7 +101,8 @@ def cpu_baseline(crm):
 def main():
     from eigd_tpu.models.crm import CRM
 
-    crm = CRM(nspan=NSPAN, nchord=NCHORD, nheight=NHEIGHT, N=N)
+    crm = CRM(nspan=NSPAN, nchord=NCHORD, nheight=NHEIGHT, N=N,
+              m=M_KRYLOV)
     crm._ensure_cfg()
     log(f"CRM bench: {crm.nvars} padded DOF, {crm.nb} stations x b={crm.b}, "
         f"m={crm.m} block={crm.cfg.block} sweep={crm.cfg.lanczos_sweep}")
@@ -117,7 +123,8 @@ def main():
         h = float(os.environ.get("CRM_FD_H", 1e-5))
         vals = []
         for s in (+1.0, -1.0):
-            c2 = CRM(nspan=NSPAN, nchord=NCHORD, nheight=NHEIGHT, N=N)
+            c2 = CRM(nspan=NSPAN, nchord=NCHORD, nheight=NHEIGHT, N=N,
+                     m=M_KRYLOV)
             c2.x = crm.x + s * h * jnp.asarray(pert)
             # reuse the compiled programs (same shapes/config)
             c2.cfg = crm.cfg
