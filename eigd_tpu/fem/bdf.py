@@ -53,12 +53,15 @@ def _split_fields(line):
     """One logical card line -> list of string fields (field 0 = card name).
 
     Free field: comma separated. Small field: 8-char columns. Large field
-    (name ends with '*'): 16-char columns (4 data fields per line).
+    (16-char columns, 4 data fields per line): the name field either ends
+    with '*' ("GRID*") or the line is a large-field continuation whose
+    marker STARTS with '*' ("*ABC1") — both must select 16-char columns,
+    or 16-char numerics are silently split/truncated.
     """
     if "," in line:
         return [f.strip() for f in line.split(",")]
     name = line[:8]
-    if name.rstrip().endswith("*"):
+    if name.rstrip().endswith("*") or line.startswith("*"):
         fields = [name.rstrip().rstrip("*")]
         body = line[8:72]
         for i in range(0, len(body), 16):
@@ -95,7 +98,7 @@ class BdfModel:
     """Parsed subset: arrays ready for the shell assembly pipeline."""
 
     def __init__(self, X, node_ids, conn, comp, names, thickness,
-                 E, nu, rho, spc_nodes, skipped):
+                 E, nu, rho, spc_nodes, skipped, warnings=()):
         self.X = X                  # (nnodes, 3) float
         self.node_ids = node_ids    # (nnodes,) original GRID ids
         self.conn = conn            # (nelems, 4) int, 0-based
@@ -105,6 +108,7 @@ class BdfModel:
         self.E, self.nu, self.rho = E, nu, rho
         self.spc_nodes = spc_nodes  # (k,) 0-based constrained node indices
         self.skipped = skipped      # set of skipped card names
+        self.warnings = list(warnings)  # lossy-promotion notices
 
 
 def parse_bdf(path_or_lines):
@@ -121,6 +125,8 @@ def parse_bdf(path_or_lines):
     mats = {}        # mid -> (E, nu, rho)
     spc = set()
     skipped = set()
+    warnings = []
+    spc_comps = set()  # component strings seen on SPC/SPC1/GRID cards
 
     in_bulk = any("BEGIN BULK" in ln.upper() for ln in lines)
     started = not in_bulk
@@ -140,6 +146,7 @@ def parse_bdf(path_or_lines):
             # permanent SPC in field 8
             if f[7].strip():
                 spc.add(nid)
+                spc_comps.add(f[7].strip())
         elif name == "CQUAD4":
             quads.append((int(f[2]), int(f[3]), int(f[4]), int(f[5]),
                           int(f[6])))
@@ -154,6 +161,8 @@ def parse_bdf(path_or_lines):
             mats[int(f[1])] = (E, nu, rho)
         elif name == "SPC1":
             # SPC1 sid comps g1 g2 ... (also THRU ranges)
+            if f[2].strip():
+                spc_comps.add(f[2].strip())
             toks = [t for t in f[3:] if t.strip()]
             i = 0
             while i < len(toks):
@@ -170,6 +179,8 @@ def parse_bdf(path_or_lines):
             for j in (2, 5):
                 if f[j].strip():
                     spc.add(int(f[j]))
+                    if f[j + 1].strip():
+                        spc_comps.add(f[j + 1].strip())
         else:
             skipped.add(name)
 
@@ -179,7 +190,20 @@ def parse_bdf(path_or_lines):
         raise ValueError("BDF contains no CQUAD4 cards "
                          "(only the CQUAD4 shell subset is supported)")
 
-    node_ids = np.array(sorted(grids), dtype=np.int64)
+    # keep only GRID nodes some CQUAD4 references: unreferenced grids (nodes
+    # for unsupported element types, construction points) would contribute
+    # 6 zero-stiffness/zero-mass DOFs each, making the shift factor singular
+    referenced = {n for q in quads for n in q[1:]}
+    missing = referenced - set(grids)
+    if missing:
+        raise ValueError(
+            f"CQUAD4 references {len(missing)} undefined GRID ids "
+            f"(e.g. {sorted(missing)[:5]})")
+    dropped = len(grids) - len(referenced)
+    if dropped:
+        warnings.append(
+            f"dropped {dropped} GRID node(s) not referenced by any CQUAD4")
+    node_ids = np.array(sorted(referenced), dtype=np.int64)
     id2idx = {nid: i for i, nid in enumerate(node_ids)}
     X = np.array([grids[nid] for nid in node_ids])
 
@@ -201,8 +225,19 @@ def parse_bdf(path_or_lines):
             break
     spc_idx = np.array(sorted(id2idx[n] for n in spc if n in id2idx),
                        dtype=np.int64)
+    # the station layout clamps SPC nodes in ALL DOFs (level-0 clamp). A
+    # deck constraining a strict component subset (e.g. "3") is promoted to
+    # a full clamp — record it so callers can detect the stiffening
+    # (reference honors per-DOF constraints, crm.py:146-183)
+    partial = sorted(c for c in spc_comps
+                     if not set("123456") <= set(c))
+    if partial:
+        warnings.append(
+            "SPC component subset(s) "
+            f"{partial} promoted to full 6-DOF clamps; frequencies will be "
+            "stiffer than a per-DOF-constrained model")
     return BdfModel(X, node_ids, conn, comp, names, thickness, E, nu, rho,
-                    spc_idx, skipped)
+                    spc_idx, skipped, warnings)
 
 
 def bfs_levels(conn, nnodes, roots):

@@ -65,6 +65,52 @@ class TestParser:
         assert _nastran_float("-4.5+2") == pytest.approx(-450.0)
         assert _nastran_float("1.5e-3") == pytest.approx(1.5e-3)
 
+    def test_large_field_named_continuation(self):
+        # GRID* with a NAMED continuation marker ('*AB1'): both lines must
+        # be split as 16-char large-field columns or the 16-char numerics
+        # are truncated (ADVICE r3). z lives on the continuation line.
+        lines = [
+            "BEGIN BULK",
+            "GRID*   1                               "
+            "987.6543210987  1.23456789-3    *AB1",
+            "*AB1    2.5",
+            "GRID*   2                               "
+            "0.0             0.0             *AB2",
+            "*AB2    0.0",
+            "CQUAD4,1,1,1,2,3,4",
+            "GRID,3,,1.0,1.0,0.0",
+            "GRID,4,,0.0,1.0,0.0",
+            "PSHELL,1,7,0.01",
+            "MAT1,7,7.0+10,,0.3,2700.0",
+            "ENDDATA",
+        ]
+        mdl = parse_bdf(lines)
+        i1 = int(np.searchsorted(mdl.node_ids, 1))
+        np.testing.assert_allclose(
+            mdl.X[i1], [987.6543210987, 1.23456789e-3, 2.5], rtol=1e-12)
+
+    def test_unreferenced_grids_dropped(self):
+        lines = plate_bdf_lines()
+        # an orphan grid (no CQUAD4 references it) must not create
+        # zero-stiffness DOFs
+        lines.insert(-1, "GRID,9999,,5.0,5.0,5.0")
+        mdl = parse_bdf(lines)
+        assert 9999 not in mdl.node_ids
+        assert mdl.X.shape == (5 * 13, 3)
+        assert any("unreferenced" in w or "dropped" in w
+                   for w in mdl.warnings)
+
+    def test_partial_spc_component_warning(self):
+        lines = plate_bdf_lines()
+        # constrain one interior node in component 3 only: the full-clamp
+        # promotion must be recorded
+        lines.insert(-1, "SPC,5,17,3,0.0")
+        mdl = parse_bdf(lines)
+        assert any("promoted" in w for w in mdl.warnings)
+        # the fully-clamped SPC1 deck alone stays warning-free
+        assert not any("promoted" in w
+                       for w in parse_bdf(plate_bdf_lines()).warnings)
+
     def test_bfs_levels_block_tridiagonal(self):
         mdl = parse_bdf(plate_bdf_lines())
         levels, nlev = bfs_levels(mdl.conn, mdl.X.shape[0], mdl.spc_nodes)
