@@ -367,6 +367,10 @@ def eigh_gen_fwdmode(theta, problem: EigProblem, cfg: EighGenConfig):
 
     Same primal as :func:`eigh_gen`; JAX does not allow one callable to
     carry both a custom VJP and a custom JVP, hence the paired entry point.
+    Supports mode="normal" and mode="buckling" (the latter mirroring the
+    reference's complex-step verification of buckling derivatives,
+    buckling.py:1014-1023 — see the buckling branch in
+    :func:`eigh_gen_tangent` for the tangent identities).
 
     Tangent rule (normal mode; B-orthonormal eigenvectors):
       dlam_i = phi_i^T (dA - lam_i dB) phi_i
@@ -384,18 +388,27 @@ def eigh_gen_fwdmode(theta, problem: EigProblem, cfg: EighGenConfig):
     return lam, Phi
 
 
-@eigh_gen_fwdmode.defjvp
-def _eigh_gen_fwdmode_jvp(problem, cfg, primals, tangents):
-    (theta,) = primals
-    (dtheta,) = tangents
-    if cfg.mode != "normal":
+def eigh_gen_tangent(theta, dtheta, problem, cfg, fwd=None):
+    """Shared forward-mode tangent core (the :func:`eigh_gen_fwdmode` JVP
+    rule body). ``fwd``, if given, is an already-computed forward solve
+    ``(A, B, res, factor)`` — used by :func:`staged_jvp` to split the
+    forward and tangent solves into separate programs at sizes where one
+    fused executable is fragile (same motivation as
+    :func:`staged_value_and_grad`).
+
+    Returns (lam, Phi, dlam, dPhi).
+    """
+    if cfg.mode not in ("normal", "buckling"):
         raise NotImplementedError(
-            "eigh_gen_fwdmode currently supports mode='normal' only "
-            "(the NF/thermal verification families); use the reverse-mode "
-            "eigh_gen or the dense oracle for buckling.")
-    A, B = problem.assemble(theta)
-    A, B = _pallas_ops(A, B, cfg)
-    lam, Phi, (res, factor) = _forward_ops(theta, problem, A, B, cfg)
+            f"eigh_gen_fwdmode: mode={cfg.mode!r} has no tangent rule "
+            "(normal and buckling are supported).")
+    if fwd is None:
+        A, B = problem.assemble(theta)
+        A, B = _pallas_ops(A, B, cfg)
+        lam, Phi, (res, factor) = _forward_ops(theta, problem, A, B, cfg)
+    else:
+        A, B, res, factor = fwd
+        lam, Phi = res.lam, res.Phi
 
     # Tangent operators via linearity of mv in the assembled matrix data:
     # jvp through assemble gives dA, dB applied to the solved eigenvectors.
@@ -404,8 +417,24 @@ def _eigh_gen_fwdmode_jvp(problem, cfg, primals, tangents):
         return A2.mv(Phi), B2.mv(Phi)
 
     (_, _), (dAP, dBP) = jax.jvp(apply_both, (theta,), (dtheta,))
-    W = dAP - dBP * lam[None, :]  # W[:, i] = (dA - lam_i dB) phi_i
-    dlam = psum(jnp.sum(Phi * W, axis=0), cfg.axis)
+    if cfg.mode == "buckling":
+        # Pencil K phi + lam G phi = 0 with (A, B) = (G, K) and
+        # K-orthonormal Phi (models/buckling.py; reference buckling.py:
+        # 1014-1023 is the complex-step channel this replaces). Tangent
+        # identities (phi^T G phi = -1/lam):
+        #   W_i    = (dK + lam_i dG) phi_i = (dB + lam_i dA) phi_i
+        #   dlam_i = lam_i phi_i^T W_i
+        # and the eigenvector tangent solves the SAME projected system as
+        # the buckling adjoint, (K + lam_i G) v_i = -proj(W_i) — the
+        # dlam_i G phi_i term is along K phi_i and dies under the
+        # B-projection. generate_adjoint_correction's diag(lam) buckling
+        # scale gives exactly the solved-pair couplings
+        # c_ij = -lam_j phi_j^T W_i / (lam_j - lam_i).
+        W = dBP + dAP * lam[None, :]
+        dlam = lam * psum(jnp.sum(Phi * W, axis=0), cfg.axis)
+    else:
+        W = dAP - dBP * lam[None, :]  # W[:, i] = (dA - lam_i dB) phi_i
+        dlam = psum(jnp.sum(Phi * W, axis=0), cfg.axis)
 
     # Unsolved-space component: the same projected singular systems as the
     # reverse pass, with RHS built from W instead of the cotangent seed.
@@ -453,7 +482,62 @@ def _eigh_gen_fwdmode_jvp(problem, cfg, primals, tangents):
     close = jnp.abs(diff) < cfg.eig_atol  # includes the diagonal
     Cd = jnp.where(close, -0.5 * dBG, 0.0)
     dPhi = psi + Phi @ Cd
+    return lam, Phi, dlam, dPhi
+
+
+@eigh_gen_fwdmode.defjvp
+def _eigh_gen_fwdmode_jvp(problem, cfg, primals, tangents):
+    (theta,) = primals
+    (dtheta,) = tangents
+    lam, Phi, dlam, dPhi = eigh_gen_tangent(theta, dtheta, problem, cfg)
     return (lam, Phi), (dlam, dPhi)
+
+
+def staged_jvp(pre, tail, problem: EigProblem, cfg: EighGenConfig):
+    """Directional derivative of ``x -> tail(eigh_gen(pre(x)))`` by FORWARD
+    mode, as two compiled programs (forward eigensolve / tangent solve).
+
+    The forward-mode twin of :func:`staged_value_and_grad`, used as the
+    jvp-vs-vjp gradient-consistency oracle at flagship scale (the TPU-native
+    replacement for the reference's complex-step channel at full size,
+    /root/reference/eigd/eigenvector_derivatives.py:1387-1414): both modes
+    share the identical primal solve, so |jvp - g.p| isolates solver /
+    derivation error with no FD step size and no objective-smoothness
+    requirement.
+
+    Returns ``fn(x, p) -> (value, dvalue)`` backed by two cached jits;
+    ``fn.fwd_prog`` is the forward program (reusable across directions).
+    """
+    import dataclasses as _dc
+
+    @jax.jit
+    def fwd_prog(x):
+        theta = pre(x)
+        A, B = problem.assemble(theta)
+        lam, Phi, (res, factor) = _forward_ops(theta, problem, A, B, cfg)
+        return _dc.replace(res, BV=None)
+
+    @partial(jax.jit, donate_argnums=(2,))
+    def tan_prog(x, p, res):
+        theta, dtheta = jax.jvp(pre, (x,), (p,))
+        A, B = problem.assemble(theta)
+        A, B = _pallas_ops(A, B, cfg)
+        if problem.factor is not None:
+            factor = problem.factor(A, B, cfg.sigma, cfg.mode)
+        else:
+            factor = make_shift_factor(A, B, cfg.sigma, mode=cfg.mode,
+                                       kind=cfg.factor_kind)
+        lam, Phi, dlam, dPhi = eigh_gen_tangent(
+            theta, dtheta, problem, cfg, fwd=(A, B, res, factor))
+        return jax.jvp(tail, (lam, Phi), (dlam, dPhi))
+
+    def fn(x, p):
+        res = fwd_prog(x)
+        return tan_prog(x, p, res)
+
+    fn.fwd_prog = fwd_prog
+    fn.tan_prog = tan_prog
+    return fn
 
 
 def staged_value_and_grad(pre, tail, problem: EigProblem,
@@ -931,14 +1015,49 @@ def _solve_spd_bwd(build_op, build_factor, saved, ubar):
 solve_spd.defvjp(_solve_spd_fwd, _solve_spd_bwd)
 
 
-def eigh_gen_directional_oracle(A, B, dA, dB, N, eig_atol=1e-5):
+@partial(jax.custom_jvp, nondiff_argnums=(2, 3))
+def solve_spd_fwdmode(theta, f, build_op, build_factor):
+    """:func:`solve_spd` with a forward-mode (custom_jvp) rule — the static
+    solve used by the buckling forward-verification chain (custom_vjp
+    functions cannot be jvp'd). Tangent of u = K(theta)^{-1} f:
+        du = K^{-1} (df - dK u).
+    """
+    fac = build_factor(theta)
+    return fac.mv(f)
+
+
+@solve_spd_fwdmode.defjvp
+def _solve_spd_fwdmode_jvp(build_op, build_factor, primals, tangents):
+    theta, f = primals
+    dtheta, df = tangents
+    fac = build_factor(theta)
+    u = fac.mv(f)
+
+    def opmv(th):
+        return build_op(th).mv(u)
+
+    _, dKu = jax.jvp(opmv, (theta,), (dtheta,))
+    du = fac.mv(df - dKu)
+    return u, du
+
+
+def eigh_gen_directional_oracle(A, B, dA, dB, N, eig_atol=1e-5,
+                                mode="normal"):
     """Directional-derivative oracle with the reference's complex-step
     semantics: divided differences between numerically repeated eigenvalues
     are suppressed (reference BasicLanczos._eigh, eigenvector_derivatives.py:
     1403-1408 zeroes D[i, j] for equal eigenvalues), which is the correct
     infinitesimal derivative for objectives with underlying differentiability.
 
-    Returns (lam, Phi, dlam, dPhi) for the N smallest modes.
+    mode="buckling": (A, B) = (G, K) with the pencil K phi + lam G phi = 0,
+    lam the buckling load factor, K-orthonormal Phi, modes sorted by the
+    shift-invert order argsort(-1/lam) (reference :1437); the tangents are
+      dlam_i = lam_i phi_i^T (dK + lam_i dG) phi_i
+      c_ij   = -lam_j phi_j^T W_i / (lam_j - lam_i)   (distinct j)
+    with the same degenerate-rotation suppression in K-orthonormal
+    coordinates (reference buckling.py:1014-1023 complex-step channel).
+
+    Returns (lam, Phi, dlam, dPhi) for the N selected modes.
     """
     import scipy.linalg
 
@@ -946,11 +1065,33 @@ def eigh_gen_directional_oracle(A, B, dA, dB, N, eig_atol=1e-5):
 
     A = np.asarray(A)
     B = np.asarray(B)
-    lam, Phi = scipy.linalg.eigh(A, B)
     dA = np.asarray(dA)
     dB = np.asarray(dB)
-
     n = A.shape[0]
+
+    if mode == "buckling":
+        # G phi = mu K phi; lam = -1/mu; order by mu ascending
+        mu, Phi = scipy.linalg.eigh(A, B)  # K-orthonormal columns
+        lam = -1.0 / mu
+        dlam = np.zeros(N)
+        dPhi = np.zeros((n, N))
+        for i in range(N):
+            Wi = (dB + lam[i] * dA) @ Phi[:, i]
+            dBi = dB @ Phi[:, i]
+            dlam[i] = lam[i] * (Phi[:, i] @ Wi)
+            for j in range(n):
+                if j == i:
+                    continue
+                if abs(lam[j] - lam[i]) > eig_atol:
+                    dPhi[:, i] += Phi[:, j] * (
+                        -lam[j] * (Phi[:, j] @ Wi) / (lam[j] - lam[i]))
+                else:
+                    dPhi[:, i] += Phi[:, j] * (-0.5 * (Phi[:, j] @ dBi))
+            dPhi[:, i] -= 0.5 * Phi[:, i] * (Phi[:, i] @ dBi)
+        return lam[:N], Phi[:, :N], dlam, dPhi
+
+    lam, Phi = scipy.linalg.eigh(A, B)
+
     dlam = np.zeros(N)
     dPhi = np.zeros((n, N))
     for i in range(N):

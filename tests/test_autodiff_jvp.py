@@ -92,6 +92,31 @@ class TestJvpVsVjp:
         rel = abs(ans_vjp - float(ans_jvp)) / abs(ans_vjp)
         assert rel < 1e-10, (ans_vjp, float(ans_jvp), rel)
 
+    def test_staged_jvp_matches_fused(self):
+        """staged_jvp (two-program forward/tangent split, the 1M-DOF bench
+        oracle) is bit-equivalent mathematics to jax.jvp of the fused
+        objective."""
+        from eigd_tpu.ops.autodiff import staged_jvp
+
+        topo, obj_vjp, obj_jvp = _nf_objectives()
+
+        def pre(x):
+            rho = topo.fltr.apply(x)
+            return fem.element_density(rho, topo.conn)
+
+        def tail(lam, Q):
+            eta = jnp.exp(-(lam - lam[0]))
+            return (jnp.sum(jnp.sqrt(lam))
+                    + jnp.sum(eta[None, :] * Q[:9, :] ** 2))
+
+        x0 = jnp.asarray(topo.x)
+        pert = jnp.asarray(np.random.default_rng(3).uniform(size=x0.shape))
+        v_f, dv_f = jax.jvp(obj_jvp, (x0,), (pert,))
+        fn = staged_jvp(pre, tail, topo.problem, topo.cfg)
+        v_s, dv_s = fn(x0, pert)
+        assert abs(float(v_s) - float(v_f)) <= 1e-12 * abs(float(v_f))
+        assert abs(float(dv_s) - float(dv_f)) <= 1e-10 * abs(float(dv_f))
+
     def test_jvp_sharper_than_fd(self):
         """The jvp directional derivative agrees with central differences to
         FD truncation accuracy — i.e. it can replace the FD oracle."""
@@ -103,6 +128,105 @@ class TestJvpVsVjp:
         fd = (float(obj_jvp(x0 + h * pert))
               - float(obj_jvp(x0 - h * pert))) / (2 * h)
         assert abs(float(ans_jvp) - fd) / abs(fd) < 1e-7
+
+
+class TestBucklingForwardMode:
+    """VERDICT r3 item 6: the forward-mode channel covers buckling, like the
+    reference's complex-step does (buckling.py:1014-1023)."""
+
+    def test_buckling_matches_directional_oracle(self):
+        from eigd_tpu.ops.operators import DenseOperator
+
+        rng = np.random.default_rng(17)
+        n, N = 36, 3
+        S = rng.standard_normal((n, n))
+        K0 = S @ S.T + n * np.eye(n)
+        T = rng.standard_normal((n, n)) * 0.3
+        G0 = -(T @ T.T + 0.5 * np.eye(n))  # negative definite: BLFs > 0
+        dK = rng.standard_normal((n, n))
+        dK = 0.5 * (dK + dK.T)
+        dG = rng.standard_normal((n, n)) * 0.1
+        dG = 0.5 * (dG + dG.T)
+
+        lam_o, Phi_o, dlam_o, dPhi_o = eigh_gen_directional_oracle(
+            G0, K0, dG, dK, N, eig_atol=1e-5, mode="buckling")
+        sigma = 0.5 * float(lam_o[0])
+
+        problem = EigProblem(assemble=lambda t: (
+            DenseOperator(jnp.asarray(G0) + t * jnp.asarray(dG)),
+            DenseOperator(jnp.asarray(K0) + t * jnp.asarray(dK))))
+        cfg = EighGenConfig(N=N, m=36, sigma=sigma, mode="buckling",
+                            adjoint_method="sibk", adjoint_maxiter=60,
+                            nrestart=3, eig_atol=1e-5)
+        from eigd_tpu.ops.autodiff import eigh_gen_fwdmode as fwd
+
+        (lam, Phi), (dlam, dPhi) = jax.jvp(
+            lambda t: fwd(t, problem, cfg),
+            (jnp.asarray(0.0),), (jnp.asarray(1.0),))
+
+        np.testing.assert_allclose(np.asarray(lam), lam_o, rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(dlam), dlam_o,
+                                   rtol=1e-7, atol=1e-9)
+        sign = np.sign(np.sum(np.asarray(Phi) * Phi_o, axis=0))
+        np.testing.assert_allclose(np.asarray(dPhi) * sign[None, :], dPhi_o,
+                                   atol=1e-7)
+
+    def test_buckling_chain_jvp_vs_vjp(self):
+        """jvp-vs-vjp consistency through the buckling model chain (static
+        solve -> stress stiffness -> pencil eigensolve -> KS + aggregate) at
+        1e-9 — replaces the central-difference floor (~1e-6)."""
+        from eigd_tpu.models.buckling import (_chol_solve,
+                                              make_buckling_model)
+        from eigd_tpu.ops.autodiff import eigh_gen_fwdmode
+        from tests.test_buckling import _pick_sigma
+
+        t = make_buckling_model(nx=14, ny=7, N=4, sigma=_pick_sigma())
+
+        def chain(x, eig_fn):
+            rho = t.fltr.apply(x)
+            rhoE = fem.element_density(rho, t.conn)
+            Kr = t._stiffness_dense_reduced(rhoE)
+            L = jnp.linalg.cholesky(Kr)
+            fr = t.f[t.free]
+            ur = _chol_solve(L, fr)
+            lam, Qr = eig_fn((rhoE, ur), t.problem, t.cfg)
+            eta = jnp.exp(-(lam - lam[0]))
+            ks = lam[0] - jnp.log(
+                jnp.sum(jnp.exp(-160.0 * (lam - lam[0])))) / 160.0
+            return ks + jnp.sum(eta[None, :] * Qr[:9, :] ** 2) + fr @ ur
+
+        x0 = jnp.asarray(t.x)
+        pert = jnp.asarray(np.random.default_rng(9).uniform(size=x0.shape))
+        g = jax.grad(lambda x: chain(x, eigh_gen))(x0)
+        ans_vjp = float(pert @ g)
+        v, ans_jvp = jax.jvp(lambda x: chain(x, eigh_gen_fwdmode),
+                             (x0,), (pert,))
+        rel = abs(ans_vjp - float(ans_jvp)) / abs(ans_vjp)
+        assert rel < 1e-9, (ans_vjp, float(ans_jvp), rel)
+
+    def test_solve_spd_fwdmode_matches_vjp(self):
+        """Forward-mode static solve (scalable-path channel): jvp of
+        solve_spd_fwdmode vs vjp of solve_spd on the buckling K-solve."""
+        from eigd_tpu.models.buckling import make_buckling_model
+        from eigd_tpu.ops.autodiff import solve_spd, solve_spd_fwdmode
+
+        t = make_buckling_model(nx=14, ny=7, N=4, sigma=1.0,
+                                factor_kind="bcr_f32")
+        rho = t.fltr.apply(jnp.asarray(t.x))
+        rhoE0 = fem.element_density(rho, t.conn)
+        fm = t.f * t.free_mask
+        w = jnp.cos(0.13 * jnp.arange(fm.shape[0], dtype=jnp.float64))
+        drho = jnp.asarray(
+            np.random.default_rng(4).uniform(size=rhoE0.shape))
+
+        g = jax.grad(lambda r: w @ solve_spd(r, fm, t._op_K,
+                                             t._K_factor))(rhoE0)
+        ans_vjp = float(jnp.vdot(g, drho))
+        _, du = jax.jvp(
+            lambda r: solve_spd_fwdmode(r, fm, t._op_K, t._K_factor),
+            (rhoE0,), (drho,))
+        ans_jvp = float(w @ du)
+        assert abs(ans_vjp - ans_jvp) / abs(ans_jvp) < 1e-9
 
 
 class TestDegenerateTangent:
