@@ -518,9 +518,27 @@ def polish_ritz_block(A, B, factor, lam, Phi, sigma, mode, deflate=None,
     # apply error injected into the subspace rotation contracts only ~one
     # gap ratio per remaining step, and the 263k FD check degraded
     # 5.2e-7 -> 1.6e-4. Every polish step uses the accurate apply.
+    #
+    # Warm start (r4): the apply target is known up to the eigen-residual —
+    #   normal:   (K - sigma M) phi = (lam - sigma) M phi
+    #             => factor(B phi) ~ phi / (lam - sigma)
+    #   buckling: (K + sigma G) phi = (1 - sigma/lam) K phi
+    #             => factor(B phi) ~ phi * lam / (lam - sigma)
+    # so seeding the factor's inner PCG with Phi * scale starts it at a
+    # relative residual of ~eig_res instead of ~1. The convergence gate is
+    # unchanged (relative to ||b||) — the guess removes iterations, it
+    # cannot loosen the solve. Factors without mv_warm run the plain path.
+    mv_warm = getattr(factor, "mv_warm", None)
     Wsel = None
     for _ in range(nsteps):
-        Z = factor.mv(B.mv(Phi))  # (n, N); same filter in every mode
+        if mv_warm is not None:
+            denom = lam - sigma
+            safe = jnp.where(denom == 0.0, 1.0, denom)
+            scale = (lam / safe) if mode == "buckling" else (1.0 / safe)
+            scale = jnp.where(denom == 0.0, 0.0, scale)
+            Z = mv_warm(B.mv(Phi), Phi * scale[None, :])
+        else:
+            Z = factor.mv(B.mv(Phi))  # (n, N); same filter in every mode
         Z, BZ, _ = b_qr_tall(defl(Z), B.mv, axis=axis)
         AZ = A.mv(Z)
         Hp = dd_dot(Z.T, AZ, axis)  # (N, N); Z^T B Z = I

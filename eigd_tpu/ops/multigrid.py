@@ -507,7 +507,7 @@ class GridMGFactor:
 
     # -- PCG drivers ----------------------------------------------------------
 
-    def _pcg(self, bb, matvec64, rtol, maxiter):
+    def _pcg(self, bb, matvec64, rtol, maxiter, x0=None):
         """Flexible PCG; residuals/updates in bb.dtype, preconditioner f32.
 
         bb : (n, k). Per-column coefficients; converged columns freeze
@@ -515,6 +515,12 @@ class GridMGFactor:
         iterations without a 10% reduction of the best residual seen so far
         (a single plateau iteration — pre-superlinear phase or the f32
         preconditioner noise floor — must not abort the solve).
+
+        x0 : optional warm-start iterate (n, k). The convergence gate stays
+        relative to ||b|| per column, so a good guess only removes
+        iterations — it can never loosen the solve. Used by the Ritz
+        polish, whose guess Phi/(lam - sigma) starts the solve at a
+        relative residual of ~(current eigen-residual) instead of ~1.
 
         Returns (x, info) with info = dict(niter, res2 = per-column final
         squared residuals, tol2) so callers can detect an unconverged apply
@@ -564,7 +570,7 @@ class GridMGFactor:
         b2 = jnp.sum(bb * bb, axis=0)
         tol2 = (rtol * rtol) * jnp.maximum(b2, 1e-300)
 
-        x, _ = M(bb)
+        x = M(bb)[0] if x0 is None else x0.astype(dtype)
         r = bb - matvec64(x)
         z, rz = M(r)
         p = z
@@ -651,15 +657,16 @@ class GridMGFactor:
         y, _ = self.mv_info(x)
         return y
 
-    def mv_info(self, x):
+    def mv_info(self, x, x0=None):
         """Like ``mv`` but also returns the inner-PCG convergence info
         (niter, per-column final squared residuals, tol2)."""
         squeeze = x.ndim == 1
         if squeeze:
             x = x[:, None]
+            x0 = None if x0 is None else x0[:, None]
         if self.W64 is None:
             y, info = self._pcg(x.astype(jnp.float32), self._matvec32,
-                                max(self.rtol, 1e-6), self.maxiter)
+                                max(self.rtol, 1e-6), self.maxiter, x0=x0)
         else:
             # the dd residual matvec has a ~1e-12 backward-error floor;
             # don't gate the PCG below it (the stagnation exit would fire
@@ -667,10 +674,15 @@ class GridMGFactor:
             rtol_eff = (max(self.rtol, 2e-13) if self.Wdd is not None
                         else self.rtol)
             y, info = self._pcg(x.astype(jnp.float64), self._matvec64,
-                                rtol_eff, self.maxiter)
+                                rtol_eff, self.maxiter, x0=x0)
         if squeeze:
             y = y[:, 0]
         return y, info
+
+    def mv_warm(self, x, x0):
+        """Accurate solve with a warm-start iterate (see ``_pcg``)."""
+        y, _ = self.mv_info(x, x0=x0)
+        return y
 
     def approx_mv(self, x):
         """Preconditioner-quality f32 solve for mixed-precision ladders."""
