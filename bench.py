@@ -157,6 +157,13 @@ def make_topo():
            "sweep_maxiter": (None if _BIG else int(os.environ.get(
                "EIGD_BENCH_SWEEP_MAXITER", 24))),
            "degree": int(os.environ.get("EIGD_BENCH_MG_DEGREE", 3)),
+           # V-cycle depth: stop coarsening at this size (dense coarse
+           # solve). The v5e V-cycle is LATENCY-bound (~10 ms at 263k for
+           # ~0.5 ms of bandwidth need, measured scripts/diag_263k_ops.py)
+           # — fewer, larger levels trade tiny-kernel launches for one
+           # bigger dense coarse GEMM.
+           "min_coarse": int(os.environ.get("EIGD_BENCH_MG_MIN_COARSE",
+                                            2048)),
            "stag_bad": STAG,
            # V-cycle implementation: the f32 V-cycle subgraph is
            # deterministically miscompiled by XLA:TPU inside the large
