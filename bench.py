@@ -57,16 +57,20 @@ def _remaining():
 NX = int(os.environ.get("EIGD_BENCH_NX", 512))
 NY = int(os.environ.get("EIGD_BENCH_NY", 256))
 N_MODES = 6
-# forward Lanczos block size: Krylov vectors per factor apply. The factor
-# apply is latency-bound, so fatter blocks shorten the sequential chain.
-BLOCK = int(os.environ.get("EIGD_BENCH_BLOCK", 8))
 _BIG0 = 2 * (NX + 1) * (NY + 1) >= 500_000
-# FIXED trip count (17 blocks at 263k / 18 at 1M — where the old adaptive
-# exit typically stopped): the adaptive exit's data-dependent block count
-# made the objective jump ~1e-6 under FD perturbations (r3). Fixed trips +
-# floor-quality sweep applies make the forward a smooth function of x.
+# forward Lanczos block size: Krylov vectors per factor apply. The v5e
+# V-cycle apply is LATENCY-bound (~3-4 ms at 263k for ~0.5 ms of bandwidth
+# need, scripts/diag_vcycle_levels.py), so fatter blocks amortize it over
+# 2x the Krylov directions per step: BLOCK 8->16 at the same subspace size
+# (m=176) cut the 263k sweep ~35% with jvp-oracle-identical gradient
+# quality (r4: 4.92 s -> 3.13 s total, jvp_rel 4.8e-7 -> 4.2e-7).
+BLOCK = int(os.environ.get("EIGD_BENCH_BLOCK", 8 if _BIG0 else 16))
+# FIXED trip count (the adaptive exit's data-dependent block count made
+# the objective jump ~1e-6 under FD perturbations, r3). q=11 block-16
+# steps at 263k / 22 block-8 steps at 1M; fixed trips + floor-quality
+# sweep applies make the forward a smooth function of x.
 M_LANCZOS = int(os.environ.get("EIGD_BENCH_M",
-                               BLOCK * (22 if _BIG0 else 17)))
+                               BLOCK * (22 if _BIG0 else 11)))
 _LTOL = os.environ.get("EIGD_BENCH_LANCZOS_TOL",
                        "1e-11" if _BIG0 else "none")
 LANCZOS_TOL = None if _LTOL == "none" else float(_LTOL)
@@ -86,17 +90,20 @@ SIGMA = float(os.environ.get("EIGD_BENCH_SIGMA", -1.0))
 ORTHO = os.environ.get("EIGD_BENCH_ORTHO", "local")
 APPROX_RTOL = float(os.environ.get("EIGD_BENCH_APPROX_RTOL", 1e-5))
 APPROX_MAXITER = int(os.environ.get("EIGD_BENCH_APPROX_MAXITER", 18))
-# Default configuration (r3): reference-class gradients at bench scale.
-# The r3 263k experiment ladder (Richardson FD h=3e-2, all on the chip):
-#   r2 default (adaptive exit, approx sweep 1e-5, polish=2):
-#       2.61 s, FD rel 8.97e-4 (plain h=1e-2)
-#   + fixed 17-block trips:                    2.80 s, 3.5e-5
-#   + floor sweep + polish=3/spare=8 @1e-11:   4.92 s, 5.2e-7  <- default
-# Ablations (all measured): polish=2 -> 1e-4..1.2e-5; m=120 -> 1.2e-5;
-# sweep at 1e-5 -> 5.8e-6; accurate applies at 1e-9 -> 5.9e-6; BLOCK=16
-# -> 1.4e-5 at 4.66 s; cheap intermediate polish steps -> 1.6e-4. The
-# default trades ~2.1 s of the r2 wall for three orders of magnitude in
-# verified gradient accuracy (the framework's headline claim).
+# Default configuration (r4): reference-class gradients at bench scale.
+# The r4 263k ladder (after r3's accuracy recipe; all measured on-chip,
+# quality judged by the jvp-vs-vjp oracle — the FD Richardson quotient is
+# noise-floored at ~3e-6..1e-5 at this scale and scatters run to run):
+#   r3 default (block 8, q=17, floor sweep, polish=3/spare=8,
+#       approx ladder T=10, adjoint_rtol 1e-10):   4.92 s, jvp 4.8e-7
+#   + BLOCK=16 @ m=176 (q=11), ladder T=5,
+#     adjoint_rtol 4e-10:                          4.40 s
+#   + min_coarse 4500 (one less MG level):         4.36 s
+#   + plane-resident f32 PCG (no per-iteration
+#     layout transposes):                          3.13 s, jvp 4.2e-7  <- default
+# r3 ablations that still hold: polish=2 degrades to 1e-4..1.2e-5;
+# cheap intermediate polish steps 1.6e-4; floor sweep over 1e-5 sweeps
+# buys the last order of magnitude.
 # 1M keeps the r2-measured economy configuration unchanged (adaptive
 # exit, approx sweep, polish=2, precond ladder — 11.9 s fwd+bwd).
 # Measured r3: the 263k accuracy recipe does NOT transfer to 1M — floor
@@ -108,8 +115,12 @@ POLISH = int(os.environ.get("EIGD_BENCH_POLISH", 2 if _BIG else 3))
 SWEEP = os.environ.get("EIGD_BENCH_SWEEP", "approx")
 LADDER = os.environ.get("EIGD_BENCH_LADDER",
                         "precond" if _BIG else "approx")
+# approx-ladder depth 30 (T=5 block steps/round): the r4 round ablation
+# showed the deep (T=10) rounds past ~5 orders of contraction fight the
+# f32-ladder noise floor — shallower rounds at the same total cost land
+# the same residual (scripts/diag_263k_breakdown.py).
 ADJ_MAXITER = int(os.environ.get("EIGD_BENCH_ADJ_MAXITER",
-                                 120 if LADDER == "precond" else 60))
+                                 120 if LADDER == "precond" else 30))
 NRESTART = int(os.environ.get("EIGD_BENCH_NRESTART", 8))
 POLISH_SPARE = int(os.environ.get("EIGD_BENCH_POLISH_SPARE",
                                   0 if _BIG else 8))
@@ -163,7 +174,7 @@ def make_topo():
            # — fewer, larger levels trade tiny-kernel launches for one
            # bigger dense coarse GEMM.
            "min_coarse": int(os.environ.get("EIGD_BENCH_MG_MIN_COARSE",
-                                            2048)),
+                                            4500)),
            "stag_bad": STAG,
            # V-cycle implementation: the f32 V-cycle subgraph is
            # deterministically miscompiled by XLA:TPU inside the large
@@ -201,8 +212,12 @@ def make_topo():
                       lanczos_tol=LANCZOS_TOL,
                       lanczos_block=BLOCK, lanczos_ortho=ORTHO,
                       lanczos_check_every=2,
+                      # 4e-8 -> adjoint_rtol 4e-10: past ~1e-9 the mixed
+                      # f32 ladder grinds at its noise floor (r4 rounds
+                      # 4-6 contracted <2x each for 0.7 s); the jvp oracle
+                      # reads the SAME 4e-7 gradient class either way
                       rtol=float(os.environ.get(
-                          "EIGD_BENCH_ADJ_RTOL", 1e-7 if _BIG else 1e-8)),
+                          "EIGD_BENCH_ADJ_RTOL", 1e-7 if _BIG else 4e-8)),
                       sigma=SIGMA,
                       factor_options=fo, lanczos_polish=POLISH,
                       lanczos_polish_spare=POLISH_SPARE,

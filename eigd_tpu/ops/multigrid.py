@@ -410,8 +410,12 @@ class GridMGFactor:
         if vcycle == "pallas":
             from .pallas_stencil import stencil_planes, stencil_planes_dd
 
-            # coarsest level excluded: it is solved densely, never matvec'd
-            Wps = tuple(stencil_planes(Wl_, ndof) for Wl_ in Ws[:-1])
+            # coarsest level excluded: it is solved densely, never
+            # matvec'd — EXCEPT a single-level hierarchy (tiny grid under
+            # min_coarse), where level 0 is both the PCG residual matvec
+            # level and the dense coarse solve
+            Wps = tuple(stencil_planes(Wl_, ndof)
+                        for Wl_ in (Ws[:-1] if len(Ws) > 1 else Ws))
             if W64 is not None and dd:
                 # dd-split fine stencil: the outer-PCG f64 residual matvec
                 # runs on the compensated f32 Pallas kernel (~1e-12
@@ -614,6 +618,89 @@ class GridMGFactor:
             cond, body, carry)
         return x, {"niter": k_end, "res2": r2, "tol2": tol2}
 
+    def _pcg_planes(self, bb, rtol, maxiter):
+        """f32 flexible PCG entirely in channel-plane layout (pallas
+        variant): the V-cycle preconditioner and the stencil matvec both
+        consume/produce (ndof, k, X, Y) planes, so the per-iteration
+        (X, Y, ndof, k) layout transposes of the vector-layout ``_pcg`` —
+        measured ~36% of each f32 iteration at 263k DOF
+        (scripts/diag_vcycle_levels.py) — happen once per SOLVE instead of
+        4x per iteration. Same math, same convergence control as ``_pcg``
+        (per-column freeze, flexible beta, stagnation exit).
+
+        bb: (n, k) f32. Returns (x, info) in vector layout.
+        """
+        from .pallas_stencil import from_planes, matvec_planes, to_planes
+
+        nx, ny = self.shapes[0]
+        interp = self._pallas_interpret()
+        bq = to_planes(bb, nx, ny, self.ndof)
+
+        def mv(xq):
+            return matvec_planes(self.Wps[0], xq, nx, ny, self.ndof,
+                                 interpret=interp)
+
+        def col_sum(pq, qq):
+            return jnp.sum(pq * qq, axis=(0, 2, 3))
+
+        def M(rq):
+            rp = jax.lax.optimization_barrier(rq)
+            zq = jax.lax.optimization_barrier(
+                self._vcycle_planes(0, rp, interp))
+            rz = col_sum(rq, zq)
+            ok = rz > 0.0
+            return (jnp.where(ok[None, :, None, None], zq, rq),
+                    jnp.where(ok, rz, col_sum(rq, rq)))
+
+        b2 = col_sum(bq, bq)
+        tol2 = (rtol * rtol) * jnp.maximum(b2, 1e-300)
+
+        x, _ = M(bq)
+        r = bq - mv(x)
+        z, rz = M(r)
+        p = z
+
+        def cond(carry):
+            k, x, r, z, p, rz, r2, best, bad = carry
+            active = r2 > tol2
+            return ((k < maxiter) & jnp.any(active)
+                    & (bad < self.stag_bad))
+
+        def body(carry):
+            k, x, r, z, p, rz, r2, best, bad = carry
+            Ap = mv(p)
+            pAp = col_sum(p, Ap)
+            active = (r2 > tol2).astype(jnp.float32)
+            alpha = jnp.where(pAp > 0, rz / jnp.where(pAp > 0, pAp, 1.0),
+                              0.0) * active
+            x = x + p * alpha[None, :, None, None]
+            r_new = r - Ap * alpha[None, :, None, None]
+            z, rz_new = M(r_new)
+            rz_flex = rz_new - col_sum(r, z)
+            beta = jnp.where(rz != 0.0, rz_flex / jnp.where(rz != 0.0, rz,
+                                                            1.0), 0.0)
+            p = z + p * beta[None, :, None, None]
+            r2n = col_sum(r_new, r_new)
+            improving = jnp.sum(r2n) < 0.9 * best
+            bad = jnp.where(improving, 0, bad + 1)
+            best = jnp.minimum(best, jnp.sum(r2n))
+            return k + 1, x, r_new, z, p, rz_new, r2n, best, bad
+
+        r2_0 = col_sum(r, r)
+        carry = (jnp.asarray(0), x, r, z, p, rz, r2_0, jnp.sum(r2_0),
+                 jnp.asarray(0))
+        k_end, x, _, _, _, _, r2, _, _ = jax.lax.while_loop(
+            cond, body, carry)
+        return (from_planes(x, nx, ny, self.ndof),
+                {"niter": k_end, "res2": r2, "tol2": tol2})
+
+    def _pcg32(self, bb, rtol, maxiter):
+        """f32 PCG dispatch: plane-resident on the pallas variant, the
+        vector-layout ``_pcg`` otherwise."""
+        if self.vcycle == "pallas":
+            return self._pcg_planes(bb, rtol, maxiter)
+        return self._pcg(bb, self._matvec32, rtol, maxiter)
+
     def _matvec64(self, x):
         nx, ny = self.shapes[0]
         if self.Wdd is not None:
@@ -665,8 +752,13 @@ class GridMGFactor:
             x = x[:, None]
             x0 = None if x0 is None else x0[:, None]
         if self.W64 is None:
-            y, info = self._pcg(x.astype(jnp.float32), self._matvec32,
-                                max(self.rtol, 1e-6), self.maxiter, x0=x0)
+            if x0 is None:
+                y, info = self._pcg32(x.astype(jnp.float32),
+                                      max(self.rtol, 1e-6), self.maxiter)
+            else:
+                y, info = self._pcg(x.astype(jnp.float32), self._matvec32,
+                                    max(self.rtol, 1e-6), self.maxiter,
+                                    x0=x0)
         else:
             # the dd residual matvec has a ~1e-12 backward-error floor;
             # don't gate the PCG below it (the stagnation exit would fire
@@ -689,8 +781,8 @@ class GridMGFactor:
         squeeze = x.ndim == 1
         if squeeze:
             x = x[:, None]
-        y, _ = self._pcg(x.astype(jnp.float32), self._matvec32,
-                         self.approx_rtol, self.approx_maxiter)
+        y, _ = self._pcg32(x.astype(jnp.float32),
+                           self.approx_rtol, self.approx_maxiter)
         if squeeze:
             y = y[:, 0]
         return y
@@ -707,7 +799,7 @@ class GridMGFactor:
         squeeze = x.ndim == 1
         if squeeze:
             x = x[:, None]
-        y, _ = self._pcg(x.astype(jnp.float32), self._matvec32, rt, mi)
+        y, _ = self._pcg32(x.astype(jnp.float32), rt, mi)
         if squeeze:
             y = y[:, 0]
         return y
