@@ -507,10 +507,18 @@ def main():
         base_time = float("nan")
     else:
         try:
-            t0 = time.perf_counter()
-            base_time, lam = cpu_baseline()
-            log(f"CPU baseline: {base_time:.1f}s (total incl assembly "
-                f"{time.perf_counter() - t0:.1f}s), lam[3:]={lam[3:6]}")
+            # measured twice, MIN reported: run-to-run CPU variance is
+            # ~±25% (r3's gate miss was a baseline draw, VERDICT r3) and
+            # the min is the conservative side for vs_baseline
+            reps = int(os.environ.get("EIGD_BENCH_BASELINE_REPS", 2))
+            times = []
+            for r in range(reps):
+                t0 = time.perf_counter()
+                bt, lam = cpu_baseline()
+                log(f"CPU baseline rep {r}: {bt:.1f}s (total incl assembly "
+                    f"{time.perf_counter() - t0:.1f}s), lam[3:]={lam[3:6]}")
+                times.append(bt)
+            base_time = min(times)
         except Exception as e:  # pragma: no cover
             log(f"CPU baseline failed: {e}")
             base_time = float("nan")
