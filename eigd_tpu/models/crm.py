@@ -215,6 +215,7 @@ class CRM:
                  E=70e9, nu=0.3, rho=2700.0, t0=0.01, omega0=None,
                  adjoint_method="sibk", rtol=1e-10, eig_atol=1e-5,
                  factor_kind="bcr_f32", nribs=None, lanczos_polish=None,
+                 lanczos_polish_spare=0,
                  lanczos_block=None, lanczos_ortho="full",
                  lanczos_sweep=None, factor_jitter=1e-4,
                  factor_tol=1e-12, factor_maxiter=200, approx_tol=1e-8,
@@ -254,6 +255,7 @@ class CRM:
         self.approx_maxiter = approx_maxiter
         self._adjoint_maxiter = adjoint_maxiter
         self._lanczos_polish = lanczos_polish
+        self._lanczos_polish_spare = int(lanczos_polish_spare)
         self._lanczos_ortho = lanczos_ortho
         self._lanczos_sweep = lanczos_sweep
         self.scalable = factor_kind.startswith(("bcr", "blocktridiag"))
@@ -505,6 +507,7 @@ class CRM:
             adjoint_rtol=self.rtol * 1e-2, nrestart=12 if mixed else 2,
             adjoint_mixed=mixed,
             eig_atol=self.eig_atol, polish=self._lanczos_polish,
+            polish_spare=self._lanczos_polish_spare,
             block=self._lanczos_block, lanczos_ortho=self._lanczos_ortho,
             lanczos_sweep=self._lanczos_sweep)
 

@@ -530,8 +530,78 @@ class PCGFactor:
         measured at 250k CRM DOF, mode-0 true residual GREW 10x over 3
         rounds. ~20 PCG iterations restore a ~1e-5-quality apply, which the
         outer rounds' true-residual restarts then contract on.
+
+        The loop runs entirely in f32 when the operator exposes element
+        data (r4): every iteration's residual matvec was the XLA-emulated
+        f64 element einsum — the dominant cost of the whole CRM pipeline —
+        while the f32 matvec's ~3e-6 relative backward error sits well
+        under the 1e-5 approx target. Falls back to the f64 loop for
+        operators without .mats.
         """
+        if getattr(self.op, "mats", None) is not None:
+            return self._pcg32(r, self.approx_tol, self.approx_maxiter)
         return self._pcg(r, self.approx_tol, self.approx_maxiter)[0]
+
+    def _pcg32(self, x, tol, maxiter):
+        """approx-channel PCG with f32 state, f32 element matvec (MXU
+        batched einsum instead of emulated f64), f32 preconditioner."""
+        from .operators import ElementOperator
+
+        squeeze = x.ndim == 1
+        if squeeze:
+            x = x[:, None]
+        x = x.astype(jnp.float32)
+        op32 = ElementOperator(self.op.mats.astype(jnp.float32),
+                               self.op.dofs, self.op.n)
+        s32 = self.s.astype(jnp.float32)
+        mask32 = None if self.mask is None else self.mask.astype(
+            jnp.float32)
+
+        def opmv(p):
+            y = op32.mv(p)
+            if mask32 is not None:
+                y = y + (1.0 - mask32)[:, None] * p
+            return y
+
+        def pre(r):
+            return s32[:, None] * self.inner.mv(s32[:, None] * r)
+
+        nrm2 = jnp.sum(x * x, axis=0)
+        tol2 = jnp.float32(tol * tol) * jnp.maximum(nrm2, 1e-30)
+
+        r = x
+        z = pre(r)
+        rz = jnp.sum(r * z, axis=0)
+        y = jnp.zeros_like(x)
+        p = z
+        r2 = nrm2
+
+        def cond(carry):
+            k, _, _, r2, _, _ = carry
+            return (k < maxiter) & jnp.any(r2 > tol2)
+
+        def body(carry):
+            k, y, r, r2, rz, p = carry
+            active = r2 > tol2
+            Ap = opmv(p)
+            pAp = jnp.sum(p * Ap, axis=0)
+            alpha = jnp.where(active, rz / jnp.where(pAp == 0.0, 1.0, pAp),
+                              0.0)
+            y = y + alpha[None, :] * p
+            r = r - alpha[None, :] * Ap
+            r2n = jnp.sum(r * r, axis=0)
+            z = pre(r)
+            rzn = jnp.sum(r * z, axis=0)
+            beta = jnp.where(active, rzn / jnp.where(rz == 0.0, 1.0, rz),
+                             0.0)
+            p = z + beta[None, :] * p
+            return k + 1, y, r, r2n, rzn, p
+
+        k, y, _, r2, _, _ = jax.lax.while_loop(
+            cond, body, (jnp.asarray(0), y, r, r2, rz, p))
+        if squeeze:
+            y = y[:, 0]
+        return y
 
     def precond_mv(self, r):
         """ONE raw preconditioner apply (ladder='precond' mixed sibk)."""
@@ -544,20 +614,32 @@ class PCGFactor:
     def mv_info(self, x):
         return self._pcg(x, self.tol, self.maxiter)
 
-    def _pcg(self, x, tol, maxiter):
+    def mv_warm(self, x, x0):
+        """Accurate solve warm-started at x0 (the Ritz polish supplies
+        Phi * spectral scale, starting the PCG at a relative residual of
+        ~the current eigen-residual instead of ~1 — the convergence gate
+        stays relative to ||x||, so the guess only removes iterations)."""
+        return self._pcg(x, self.tol, self.maxiter, x0=x0)[0]
+
+    def _pcg(self, x, tol, maxiter, x0=None):
         squeeze = x.ndim == 1
         if squeeze:
             x = x[:, None]
+            x0 = None if x0 is None else x0[:, None]
         x = x.astype(jnp.float64)
         nrm2 = jnp.sum(x * x, axis=0)
         tol2 = (tol ** 2) * jnp.maximum(nrm2, 1e-300)
 
-        r = x
+        if x0 is None:
+            r = x
+            y = jnp.zeros_like(x)
+        else:
+            y = x0.astype(jnp.float64)
+            r = x - self._opmv(y)
         z = self._pre(r)
         rz = jnp.sum(r * z, axis=0)
-        y = jnp.zeros_like(x)
         p = z
-        r2 = nrm2
+        r2 = jnp.sum(r * r, axis=0)
 
         def cond(carry):
             k, _, _, r2, _, _ = carry

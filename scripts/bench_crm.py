@@ -42,6 +42,9 @@ NCHORD = int(os.environ.get("CRM_NCHORD", 16))
 NHEIGHT = int(os.environ.get("CRM_NHEIGHT", 4))
 N = int(os.environ.get("CRM_N", 6))
 M_KRYLOV = int(os.environ.get("CRM_M", 96))
+POLISH = os.environ.get("CRM_POLISH")
+POLISH = None if POLISH is None else int(POLISH)
+POLISH_SPARE = int(os.environ.get("CRM_POLISH_SPARE", 0))
 _T0 = time.perf_counter()
 BUDGET = float(os.environ.get("CRM_BUDGET", 1800))
 
@@ -102,7 +105,8 @@ def main():
     from eigd_tpu.models.crm import CRM
 
     crm = CRM(nspan=NSPAN, nchord=NCHORD, nheight=NHEIGHT, N=N,
-              m=M_KRYLOV)
+              m=M_KRYLOV, lanczos_polish=POLISH,
+              lanczos_polish_spare=POLISH_SPARE)
     crm._ensure_cfg()
     log(f"CRM bench: {crm.nvars} padded DOF, {crm.nb} stations x b={crm.b}, "
         f"m={crm.m} block={crm.cfg.block} sweep={crm.cfg.lanczos_sweep}")
