@@ -371,9 +371,9 @@ def efficiency_estimate(wall):
     b = 2 * (NY + 1)
     nb = NX + 1
     n = nb * b
-    blocks_fwd = 16  # typical adaptive exit
+    blocks_fwd = M_LANCZOS // BLOCK if LANCZOS_TOL is None else 16
     rounds_adj = 4
-    t_adj = -(-60 // N_MODES)
+    t_adj = -(-ADJ_MAXITER // N_MODES)
     ir = 4  # refinement passes per blocked apply (stagnation-gated)
     napply = blocks_fwd + rounds_adj * t_adj + 2
     factor_bytes = 3 * nb * b * b * 4  # BCR levels, f32
