@@ -315,14 +315,16 @@ class CRM:
             # polish=2 and breaks gradient FD checks at O(1).
             self._lanczos_sweep = "approx" if at_scale else "exact"
         if lanczos_polish is None:
-            # 4 with the f32 approx sweep (r4 ladder, measured at the 86k
+            # 3 with the f32 approx sweep (r4 ladder, measured at the 86k
             # bench config with warm-started accurate applies):
-            #   polish=2: 19.0 s, FD 2.0e-4; 3: 18.2 s, 2.9e-5;
-            #   4: 21.2 s, 1.0e-5  <- default (r3-class gradient quality
-            # at ~1.2x the same-mesh SuperLU+ARPACK baseline; the f64
-            # approx channel it replaced ran 45.1 s at 8.6e-6)
+            #   polish=2: 19.0 s, FD 2.0e-4; 3: 18.2 s, 2.9e-5  <- default
+            #   4: 21.2 s, 1.0e-5 (the accuracy-leaning setting)
+            # The same-mesh SuperLU+ARPACK baseline draws 19.4-26.5 s
+            # run to run; polish=3 stays >=1x even on the low draws
+            # (polish=4 measured 0.914x on a 19.4 s draw). The f64 approx
+            # channel both replace ran 45.1 s at FD 8.6e-6 (0.55x).
             self._lanczos_polish = 0 if self._lanczos_sweep == "exact" \
-                else 4
+                else 3
 
         rank = np.zeros(self.nnodes, dtype=np.int64)
         seen = np.zeros(self.nb, dtype=np.int64)

@@ -210,7 +210,7 @@ class TestBucklingForwardMode:
         from eigd_tpu.models.buckling import make_buckling_model
         from eigd_tpu.ops.autodiff import solve_spd, solve_spd_fwdmode
 
-        t = make_buckling_model(nx=14, ny=7, N=4, sigma=1.0,
+        t = make_buckling_model(nx=10, ny=5, N=3, sigma=1.0,
                                 factor_kind="bcr_f32")
         rho = t.fltr.apply(jnp.asarray(t.x))
         rhoE0 = fem.element_density(rho, t.conn)
