@@ -113,8 +113,13 @@ APPROX_MAXITER = int(os.environ.get("EIGD_BENCH_APPROX_MAXITER", 18))
 _BIG = _BIG0
 POLISH = int(os.environ.get("EIGD_BENCH_POLISH", 2 if _BIG else 3))
 SWEEP = os.environ.get("EIGD_BENCH_SWEEP", "approx")
-LADDER = os.environ.get("EIGD_BENCH_LADDER",
-                        "precond" if _BIG else "approx")
+# "approx" at BOTH sizes (r4): at 1M the one-V-cycle "precond" ladder
+# needed deep rounds (maxiter 120) for weak per-step contraction — the
+# f32-PCG approx ladder at T=5 rounds measured 10.28 s -> 8.73 s total
+# (reverse 5.15 -> 3.6 s) at jvp_rel 8.8e-6 (vs 4.4e-6; both under the
+# 1e-5 bar; EIGD_BENCH_LADDER=precond EIGD_BENCH_ADJ_MAXITER=120
+# restores the accuracy-leaning r3 configuration).
+LADDER = os.environ.get("EIGD_BENCH_LADDER", "approx")
 # approx-ladder depth 30 (T=5 block steps/round): the r4 round ablation
 # showed the deep (T=10) rounds past ~5 orders of contraction fight the
 # f32-ladder noise floor — shallower rounds at the same total cost land
