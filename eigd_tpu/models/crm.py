@@ -580,6 +580,21 @@ class CRM:
         self.xb = self.xb + xb
         self.profile["adjoint solution time"] = time.time() - t0
 
+    def objective_jvp(self, p):
+        """Forward-mode directional derivative of the seeded objective along
+        thickness direction ``p``, via the chunked tangent channel
+        (autodiff.staged_eigh_gen_vjp jvp_prog) — the jvp-vs-vjp gradient
+        oracle at CRM scale (the role of the reference's complex-step
+        verification, /root/reference/examples/crm.py:394-406, with no FD
+        step size). Requires the seeds (initialize_adjoint +
+        add_*_derivative) and the scalable chunked protocol. Compare with
+        ``p @ self.xb`` after finalize_adjoint."""
+        if not self.scalable or not hasattr(self._bwd_prog, "jvp_prog"):
+            raise NotImplementedError(
+                "objective_jvp needs the scalable chunked-sibk protocol")
+        return self._bwd_prog.jvp_prog(self.x, jnp.asarray(p), self._res,
+                                       self.lamb, self.Qrb)
+
     # -- modal compliance (crm.py:267-293) ----------------------------------
 
     def tip_load(self):

@@ -928,22 +928,22 @@ def staged_eigh_gen_vjp(problem: EigProblem, cfg: EighGenConfig,
 
             return jax.grad(bilinear)(theta)
 
-        def bwd_prog(theta, res, lam_bar, Phi_bar):
-            A, B, factor, deflate, v0 = build_prog(theta)
-            del deflate, v0  # pcpg-only / forward-only
-            psi, resn, tol = guess_prog(A, B, factor, res, Phi_bar)
+        def _chunked_solve(A, B, factor, res, Phib):
+            """Host mirror of adj.sibk's round while_loop: one dispatch per
+            round keeps every execution under the worker's 60 s kill. Used
+            for the reverse solve (Phib = cotangent seed) AND the tangent
+            solve (Phib = W, the forward-mode RHS — identical systems)."""
+            psi, resn, tol = guess_prog(A, B, factor, res, Phib)
             resn_h = _np.asarray(jax.device_get(resn))
             tol_h = float(jax.device_get(tol))
             floor0 = 3e-6 if cfg.adjoint_mixed else 1e-14
             eps_f, contraction = floor0, 0.0
             hist, rounds, r_max = [], 0, max(1, cfg.nrestart)
-            # Host mirror of adj.sibk's round while_loop: one dispatch per
-            # round keeps every execution under the worker's 60 s kill.
             while (rounds < r_max and _np.any(resn_h > tol_h)
                    and contraction < 0.6):
                 psi, resids, resn = round_prog(
-                    A, B, factor, res.lam, res.Phi, res.sigma, Phi_bar, psi,
-                    jnp.asarray(eps_f, dtype=Phi_bar.dtype))
+                    A, B, factor, res.lam, res.Phi, res.sigma, Phib, psi,
+                    jnp.asarray(eps_f, dtype=Phib.dtype))
                 resn_new = _np.asarray(jax.device_get(resn))
                 hist.append(_np.asarray(jax.device_get(resids)))
                 contraction = float(
@@ -952,14 +952,73 @@ def staged_eigh_gen_vjp(problem: EigProblem, cfg: EighGenConfig,
                 resn_h = resn_new
                 rounds += 1
             denom = max(float(tol_h) / cfg.adjoint_rtol, 1e-300)
-            bwd_prog.last_info = {"res": resn_h / denom, "rounds": rounds,
-                                  "hist": _np.asarray(hist) / denom}
+            return psi, {"res": resn_h / denom, "rounds": rounds,
+                         "hist": _np.asarray(hist) / denom}
+
+        def bwd_prog(theta, res, lam_bar, Phi_bar):
+            A, B, factor, deflate, v0 = build_prog(theta)
+            del deflate, v0  # pcpg-only / forward-only
+            psi, info = _chunked_solve(A, B, factor, res, Phi_bar)
+            bwd_prog.last_info = info
             return finish_prog(theta, A, B, res, psi, lam_bar, Phi_bar)
+
+        # ---- forward-mode (jvp) channel through the SAME chunked
+        # machinery: the tangent systems are the adjoint systems with RHS
+        # W_i = (dA - lam_i dB) phi_i (eigh_gen_tangent), so guess_prog /
+        # round_prog are reused verbatim (cache-hit: W has Phi_bar's shape).
+        # Used as the jvp-vs-vjp gradient oracle at CRM scale, where the
+        # fused staged_jvp tangent program would blow the 60 s worker kill.
+        @jax.jit
+        def tangent_seed_prog(theta, dtheta, res):
+            def apply_both(th):
+                A2, B2 = problem.assemble(th)
+                return A2.mv(res.Phi), B2.mv(res.Phi)
+
+            (_, _), (dAP, dBP) = jax.jvp(apply_both, (theta,), (dtheta,))
+            if cfg.mode == "buckling":
+                W = dBP + dAP * res.lam[None, :]
+                dlam = res.lam * psum(jnp.sum(res.Phi * W, axis=0), cfg.axis)
+            else:
+                W = dAP - dBP * res.lam[None, :]
+                dlam = psum(jnp.sum(res.Phi * W, axis=0), cfg.axis)
+            dBG = pdot(res.Phi.T, dBP, cfg.axis)
+            return W, dlam, dBG
+
+        @jax.jit
+        def tangent_finish_prog(B, res, psi, W, dBG, lam_bar, Phi_bar):
+            """dJ = lam_bar . dlam + <Phi_bar, dPhi> for the objective whose
+            (lam, Phi) gradient is the given seed pair (dlam folded by the
+            caller)."""
+            psi, _ = adj.sibk_finish(W, B, res.lam, res.Phi, psi,
+                                     mode=cfg.mode, eig_atol=cfg.eig_atol,
+                                     axis=cfg.axis)
+            diff = res.lam[:, None] - res.lam[None, :]
+            close = jnp.abs(diff) < cfg.eig_atol
+            Cd = jnp.where(close, -0.5 * dBG, 0.0)
+            dPhi = psi + pdot(res.Phi, Cd, None)
+            return jnp.sum(Phi_bar * dPhi)
+
+        def jvp_prog(theta, dtheta, res, lam_bar, Phi_bar):
+            """Directional derivative lam_bar . dlam + <Phi_bar, dPhi> along
+            dtheta, by forward mode through the chunked protocol. The seed
+            pair (lam_bar, Phi_bar) is the objective's (lam, Phi) gradient —
+            the same seeds the reverse pass consumes, so |jvp - p . xb|
+            isolates solver/derivation error (no FD step size)."""
+            A, B, factor, deflate, v0 = build_prog(theta)
+            del deflate, v0
+            W, dlam, dBG = tangent_seed_prog(theta, dtheta, res)
+            psi, info = _chunked_solve(A, B, factor, res, W)
+            jvp_prog.last_info = info
+            dphi_term = tangent_finish_prog(B, res, psi, W, dBG,
+                                            lam_bar, Phi_bar)
+            return float(jnp.sum(jnp.asarray(lam_bar) * dlam) + dphi_term)
 
         bwd_prog.guess_prog = guess_prog
         bwd_prog.round_prog = round_prog
         bwd_prog.finish_prog = finish_prog
+        bwd_prog.jvp_prog = jvp_prog
         bwd_prog.last_info = None
+        jvp_prog.last_info = None
     else:
         adjoint_prog = jax.jit(_adjoint_core)
 

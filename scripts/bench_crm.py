@@ -120,24 +120,17 @@ def main():
     log(f"warm pass: fwd {t_fwd:.1f}s adj {t_adj:.1f}s "
         f"compliance={comp:.8e}")
 
-    fd_rel = None
-    if not os.environ.get("CRM_NO_FD") and _rem() > 4 * wall + 60:
-        pert = np.random.default_rng(7).uniform(size=crm.ncomp)
-        ans = float(jnp.asarray(pert) @ crm.xb)
-        h = float(os.environ.get("CRM_FD_H", 1e-5))
-        vals = []
-        for s in (+1.0, -1.0):
-            c2 = CRM(nspan=NSPAN, nchord=NCHORD, nheight=NHEIGHT, N=N,
-                     m=M_KRYLOV)
-            c2.x = crm.x + s * h * jnp.asarray(pert)
-            # reuse the compiled programs (same shapes/config)
-            c2.cfg = crm.cfg
-            c2._fwd_prog, c2._bwd_prog = crm._fwd_prog, crm._bwd_prog
-            c2.initialize()
-            vals.append(float(c2.get_modal_compliance()))
-        fd = (vals[0] - vals[1]) / (2 * h)
-        fd_rel = abs(ans - fd) / abs(fd)
-        log(f"FD h={h:.0e}: adjoint={ans:.10e} fd={fd:.10e} rel={fd_rel:.3e}")
+    result = {
+        "metric": f"CRM wingbox: {N} eigenpairs + adjoint gradient, "
+                  f"{crm.nvars} padded DOF ({crm.nb} stations x b={crm.b})",
+        "value": round(wall, 3), "unit": "s",
+        "vs_baseline": None, "fd_rel": None}
+    # Re-printed after every completed stage (same protocol as bench.py):
+    # the caller takes the last parseable line.
+    print(json.dumps(result), flush=True)
+
+    pert = np.random.default_rng(7).uniform(size=crm.ncomp)
+    ans = float(jnp.asarray(pert) @ crm.xb)
 
     base = float("nan")
     if not os.environ.get("CRM_NO_BASELINE") and _rem() > 120:
@@ -156,13 +149,70 @@ def main():
             base = min(times)
         except Exception as e:  # pragma: no cover
             log(f"CPU baseline failed: {e}")
+        if np.isfinite(base):
+            result["vs_baseline"] = round(base / wall, 3)
+            result["cpu_baseline_s"] = round(base, 2)
+            print(json.dumps(result), flush=True)
 
-    print(json.dumps({
-        "metric": f"CRM wingbox: {N} eigenpairs + adjoint gradient, "
-                  f"{crm.nvars} padded DOF ({crm.nb} stations x b={crm.b})",
-        "value": round(wall, 3), "unit": "s",
-        "vs_baseline": round(base / wall, 3) if np.isfinite(base) else None,
-        "fd_rel": fd_rel}), flush=True)
+    # jvp-vs-vjp oracle through the chunked tangent channel (VERDICT r4
+    # item 4): shares the identical primal solve with the reverse-mode
+    # gradient — no FD step size, no objective-smoothness requirement. The
+    # round/guess programs cache-hit from the adjoint solve, so this costs
+    # ~one adjoint solve.
+    if not os.environ.get("CRM_NO_JVP") and _rem() > t_adj + 90:
+        try:
+            t0 = time.perf_counter()
+            dv = crm.objective_jvp(pert)
+            jvp_rel = abs(ans - dv) / abs(dv)
+            result["jvp_rel"] = jvp_rel
+            log(f"JVP check: vjp={ans:.12e} jvp={dv:.12e} rel={jvp_rel:.3e}"
+                f" ({time.perf_counter() - t0:.1f}s)")
+            print(json.dumps(result), flush=True)
+        except Exception as e:  # pragma: no cover
+            log(f"JVP check failed: {e}")
+
+    if not os.environ.get("CRM_NO_FD") and _rem() > 4 * t_fwd + 60:
+        # Richardson-extrapolated central differences (same estimator set as
+        # bench.py; fd_rel = the Richardson-4 at the largest h pair, every
+        # quotient recorded)
+        hs = tuple(float(h) for h in os.environ.get(
+            "CRM_FD_H", "2e-5,1e-5").split(","))
+        fds, detail = {}, {"plain": {}, "rich4": {}}
+
+        def value_at(xp):
+            c2 = CRM(nspan=NSPAN, nchord=NCHORD, nheight=NHEIGHT, N=N,
+                     m=M_KRYLOV)
+            c2.x = jnp.asarray(xp)
+            # reuse the compiled programs (same shapes/config)
+            c2.cfg = crm.cfg
+            c2._fwd_prog, c2._bwd_prog = crm._fwd_prog, crm._bwd_prog
+            c2.initialize()
+            return float(c2.get_modal_compliance())
+
+        for h in hs:
+            if _rem() < 2 * t_fwd + 30:
+                break
+            vp = value_at(crm.x + h * jnp.asarray(pert))
+            vm = value_at(crm.x - h * jnp.asarray(pert))
+            fd = (vp - vm) / (2 * h)
+            fds[h] = fd
+            rel = abs(ans - fd) / abs(fd)
+            detail["plain"][f"{h:.1e}"] = rel
+            log(f"FD h={h:.0e}: adjoint={ans:.10e} fd={fd:.10e} "
+                f"rel={rel:.3e}")
+        for h in hs:
+            if h / 2 in fds and h in fds:
+                r4 = (4.0 * fds[h / 2] - fds[h]) / 3.0
+                rel = abs(ans - r4) / abs(r4)
+                detail["rich4"][f"{h:.1e}"] = rel
+                log(f"FD richardson h={h:.0e}: fd4={r4:.10e} rel={rel:.3e}")
+        if detail["rich4"]:
+            h_big = max(h for h in hs if h / 2 in fds and h in fds)
+            result["fd_rel"] = detail["rich4"][f"{h_big:.1e}"]
+        elif detail["plain"]:
+            result["fd_rel"] = min(detail["plain"].values())
+        result["fd_detail"] = detail
+        print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

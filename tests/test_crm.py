@@ -208,6 +208,24 @@ class TestWingboxScalable:
         (xb2,) = vjp2((m2.lamb, m2.Qrb))
         np.testing.assert_array_equal(np.asarray(m.xb), np.asarray(xb2))
 
+    def test_objective_jvp_oracle(self):
+        # Chunked forward-mode channel (bwd_prog.jvp_prog): the directional
+        # derivative by jax-jvp-through-the-chunked-protocol must match the
+        # reverse-mode gradient through the identical primal solve — the
+        # CRM-scale jvp-vs-vjp oracle wired into scripts/bench_crm.py
+        # (VERDICT r4 item 4; reference role: complex-step FD at
+        # /root/reference/examples/crm.py:394-406).
+        m = CRM(nspan=6, nchord=2, nheight=1, N=3, m=40, nribs=1,
+                factor_kind="bcr_f32")
+        m.initialize()
+        m.initialize_adjoint()
+        m.add_modal_compliance_derivative(1.0)
+        m.finalize_adjoint()
+        pert = np.random.default_rng(3).uniform(size=m.ncomp)
+        ans = float(jnp.asarray(pert) @ m.xb)
+        dv = m.objective_jvp(pert)
+        assert abs(ans - dv) / abs(dv) < 1e-8, (ans, dv)
+
     def test_write_modes(self, tmp_path):
         m = CRM(nspan=4, nchord=2, nheight=1, N=2, m=30, nribs=1)
         m.initialize()

@@ -113,3 +113,24 @@ class TestBlockTridiagPath:
         topo_b.x = x0
         rel = abs(float(pert @ topo_b.xb) - fd) / abs(fd)
         assert rel < 5e-7, rel
+
+
+class TestBlockDegreeWarning:
+    """The block-q convergence warning (VERDICT r4 item 7): the blessed
+    bench configuration (block 16, q=11, polish=3 — oracle-verified at
+    4.2e-7, BENCH_r04) must construct warning-free, while a genuinely
+    marginal configuration must still warn."""
+
+    def test_blessed_config_is_warning_clean(self):
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            make_model(nx=16, ny=8, Lx=2.0, Ly=1.0, N=6, rfact=2.0,
+                       m=176, lanczos_block=16, lanczos_polish=3,
+                       lanczos_sweep="approx")
+
+    def test_marginal_config_warns(self):
+        with pytest.warns(UserWarning, match="block steps"):
+            make_model(nx=16, ny=8, Lx=2.0, Ly=1.0, N=6, rfact=2.0,
+                       m=80, lanczos_block=16, lanczos_polish=0)
