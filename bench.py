@@ -30,25 +30,34 @@ import jax.numpy as jnp
 jax.config.update("jax_enable_x64", True)
 # Persistent compile cache: the axon tunnel's XLA compiles are the wall-clock
 # killer (round-2 driver run: 805.7 s compile vs 2.6 s steady state, rc=124).
-# The cache is pre-warmed during the round by running this script, so the
-# driver's end-of-round invocation loads the compiled executables from disk.
-_CACHE_DIR = os.environ.get(
-    "EIGD_BENCH_CACHE", os.path.join(os.path.dirname(
-        os.path.abspath(__file__)), ".jax_cache"))
+# The EFFECTIVE cache dir is the one eigd_tpu/config.py sets at import —
+# ~/.cache/eigd_tpu_xla_<hosttag> — which OVERRIDES anything configured here
+# the moment make_topo() imports the package (r4 lesson, diagnosed r5: the
+# repo-local .jax_cache/ was always empty because every real compile went to
+# the home-dir cache; and at 350 MB per flagship executable / 21 GB total,
+# committing the cache to git is infeasible anyway). Warmth therefore comes
+# from prewarming THE FINAL DEFAULT CONFIG in-round on this host — the
+# driver re-runs bench.py on the same host/user, so the home-dir cache
+# carries over. EIGD_BENCH_CACHE overrides the dir (exported as
+# EIGD_TPU_COMPILE_CACHE so the package import respects it).
+if os.environ.get("EIGD_BENCH_CACHE"):
+    os.environ["EIGD_TPU_COMPILE_CACHE"] = os.environ["EIGD_BENCH_CACHE"]
+
+
+def _cache_dir_effective():
+    import eigd_tpu  # noqa: F401  (its import configures the cache)
+
+    return jax.config.jax_compilation_cache_dir
+
+
 try:
-    os.makedirs(_CACHE_DIR, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    # The cache is COMMITTED to git (r4 lesson: the driver benches a fresh
-    # clone, so a gitignored cache is always cold there — 368 s compile +
-    # 688 s jvp compile blew the driver budget and the 1M/CRM extras were
-    # never recorded). Log its state so cold runs are diagnosable.
+    _CACHE_DIR = _cache_dir_effective()
     _entries = [f for f in os.listdir(_CACHE_DIR) if f.endswith("-cache")]
-    print(f"compile cache: {len(_entries)} entries, "
-          f"{sum(os.path.getsize(os.path.join(_CACHE_DIR, f)) for f in _entries) / 1e6:.1f} MB",
+    print(f"compile cache [{_CACHE_DIR}]: {len(_entries)} entries, "
+          f"{sum(os.path.getsize(os.path.join(_CACHE_DIR, f)) for f in _entries) / 1e9:.2f} GB",
           file=sys.stderr)
 except Exception as e:  # pragma: no cover
+    _CACHE_DIR = None
     print(f"compile cache unavailable: {e}", file=sys.stderr)
 
 # Wall-clock budget (seconds) for the whole bench process. r4 evidence: the
@@ -215,11 +224,13 @@ def make_topo():
     # (several V-cycles), so pcpg's per-iteration cost is ~constant-factor
     # cheaper (see ops/adjoint.py pcpg docstring).
     adj_method = os.environ.get("EIGD_BENCH_ADJOINT", "sibk")
+    # EIGD_BENCH_MIXED=0: f64 accurate-apply ladder (accuracy-max probes)
+    mixed = bool(int(os.environ.get("EIGD_BENCH_MIXED", 1)))
     if adj_method == "pcpg":
-        adj_opts = {"maxiter": ADJ_MAXITER, "mixed": True}
+        adj_opts = {"maxiter": ADJ_MAXITER, "mixed": mixed}
     else:
         adj_opts = {"maxiter": ADJ_MAXITER, "nrestart": NRESTART,
-                    "mixed": True,
+                    "mixed": mixed,
                     # "precond": ONE raw V-cycle per ladder step instead of
                     # an f32 PCG solve (see adj.sibk ladder param)
                     "ladder": LADDER}
@@ -604,11 +615,12 @@ def main():
 
 
 def _cache_warm():
-    """Heuristic: a warm committed cache has O(100) entries."""
+    """Heuristic: a warm cache holds the multi-100-MB flagship executables."""
     try:
-        return len([f for f in os.listdir(_CACHE_DIR)
-                    if f.endswith("-cache")]) > 40
-    except OSError:
+        return sum(os.path.getsize(os.path.join(_CACHE_DIR, f))
+                   for f in os.listdir(_CACHE_DIR)
+                   if f.endswith("-cache")) > 1e9
+    except (OSError, TypeError):
         return False
 
 

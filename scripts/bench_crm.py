@@ -45,6 +45,8 @@ M_KRYLOV = int(os.environ.get("CRM_M", 96))
 POLISH = os.environ.get("CRM_POLISH")
 POLISH = None if POLISH is None else int(POLISH)
 POLISH_SPARE = int(os.environ.get("CRM_POLISH_SPARE", 0))
+BLOCK = os.environ.get("CRM_BLOCK")
+BLOCK = None if BLOCK is None else int(BLOCK)
 _T0 = time.perf_counter()
 BUDGET = float(os.environ.get("CRM_BUDGET", 1800))
 
@@ -106,7 +108,7 @@ def main():
 
     crm = CRM(nspan=NSPAN, nchord=NCHORD, nheight=NHEIGHT, N=N,
               m=M_KRYLOV, lanczos_polish=POLISH,
-              lanczos_polish_spare=POLISH_SPARE)
+              lanczos_polish_spare=POLISH_SPARE, lanczos_block=BLOCK)
     crm._ensure_cfg()
     log(f"CRM bench: {crm.nvars} padded DOF, {crm.nb} stations x b={crm.b}, "
         f"m={crm.m} block={crm.cfg.block} sweep={crm.cfg.lanczos_sweep}")
@@ -181,7 +183,7 @@ def main():
 
         def value_at(xp):
             c2 = CRM(nspan=NSPAN, nchord=NCHORD, nheight=NHEIGHT, N=N,
-                     m=M_KRYLOV)
+                     m=M_KRYLOV, lanczos_block=BLOCK)
             c2.x = jnp.asarray(xp)
             # reuse the compiled programs (same shapes/config)
             c2.cfg = crm.cfg
