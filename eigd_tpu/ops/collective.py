@@ -158,6 +158,36 @@ def dd_dot_rowsT(rows, h, force_split=False):
             + td(rl, hh).astype(jnp.float64))
 
 
+def dd_mul_small(X, M, force_split=False):
+    """f64-quality X @ M for tall (n, p) x small (p, k) at f32 MXU rate.
+
+    The contraction dim p is small (a block width, <= ~32), so a single
+    f32 MXU pass accumulates exactly-split products over only p terms —
+    no chunking needed. Replaces f64 ``solve_triangular`` over (p, n)
+    right-hand sides (measured 16.8 ms per solve at n=1e6 on TPU's
+    emulated f64 — the caller inverts the small triangular factor once and
+    applies it here as a GEMM). Falls back to the native f64 product on
+    CPU; ``force_split=True`` tests the split algebra there.
+    """
+    if (jax.default_backend() == "cpu" and not force_split) \
+            or X.dtype != jnp.float64:
+        return X @ M
+    M = M.astype(jnp.float64)
+    Xh = X.astype(jnp.float32)
+    Xl = (X - Xh.astype(jnp.float64)).astype(jnp.float32)
+    Mh = M.astype(jnp.float32)
+    Ml = (M - Mh.astype(jnp.float64)).astype(jnp.float32)
+    pet = _product_dtype()
+
+    def d(a, b):
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=pet)
+
+    return (d(Xh, Mh).astype(jnp.float64)
+            + d(Xh, Ml).astype(jnp.float64)
+            + d(Xl, Mh).astype(jnp.float64))
+
+
 def qr_tall(R, axis):
     """Thin QR of a DOF-sharded tall (n, k) block.
 

@@ -8,7 +8,7 @@ import jax.numpy as jnp
 import pytest
 
 from eigd_tpu.ops.collective import (chunked_dot_f32, dd_dot, dd_dot_rowsT,
-                                     qr_tall)
+                                     dd_mul_small, qr_tall)
 
 
 @pytest.mark.parametrize("m,n,k", [(8, 5000, 3), (16, 300, 8), (1, 8192, 1)])
@@ -45,6 +45,17 @@ def test_dd_dot_rowsT_split_matches_f64(rows, n, k):
     h = jnp.asarray(rng.standard_normal((rows, k)))
     ref = np.asarray(R).T @ np.asarray(h)
     got = np.asarray(dd_dot_rowsT(R, h, force_split=True))
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 1e-12
+
+
+@pytest.mark.parametrize("n,p,k", [(5000, 8, 8), (300, 16, 4)])
+def test_dd_mul_small_split_matches_f64(n, p, k):
+    rng = np.random.default_rng(5)
+    X = jnp.asarray(rng.standard_normal((n, p)) *
+                    10.0 ** rng.uniform(-4, 4, size=(1, p)))
+    M = jnp.asarray(rng.standard_normal((p, k)))
+    ref = np.asarray(X) @ np.asarray(M)
+    got = np.asarray(dd_mul_small(X, M, force_split=True))
     assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 1e-12
 
 
