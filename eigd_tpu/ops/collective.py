@@ -102,6 +102,26 @@ def _chunked_f32_dot(A, Bm, chunk):
     return out
 
 
+def _split_or_pair(X, force_split=False):
+    """f64 array or (hi, lo) f32 pair -> (hi, lo) f32 pair, or None when
+    the native f64 product should be used (CPU fast path)."""
+    if isinstance(X, (tuple, list)):
+        return X[0].astype(jnp.float32), X[1].astype(jnp.float32)
+    if (jax.default_backend() == "cpu" and not force_split) \
+            or X.dtype != jnp.float64:
+        return None
+    Xh = X.astype(jnp.float32)
+    Xl = (X - Xh.astype(jnp.float64)).astype(jnp.float32)
+    return Xh, Xl
+
+
+def _combine_pair(X):
+    """(hi, lo) pair -> f64 array; arrays pass through."""
+    if isinstance(X, (tuple, list)):
+        return X[0].astype(jnp.float64) + X[1].astype(jnp.float64)
+    return X
+
+
 def dd_dot(X, w, axis=None, chunk=2048, force_split=False):
     """f64-quality (m, n) @ (n, k) contraction at f32 MXU rate.
 
@@ -117,18 +137,25 @@ def dd_dot(X, w, axis=None, chunk=2048, force_split=False):
     where that is exact and fast; ``force_split=True`` runs the split
     kernel regardless of backend (so the TPU numerics are testable on CPU
     against the native f64 product).
+
+    Either operand may be a pre-split (hi, lo) f32 pair (value hi + lo,
+    e.g. from ``dd_stencil_matvec_pair`` or a split-stored basis): the
+    per-call Dekker split of that operand — a full read + write of its
+    f64 bytes — is then skipped.
     """
-    if (jax.default_backend() == "cpu" and not force_split) \
-            or X.dtype != jnp.float64:
-        return psum(X @ w, axis)
-    w = w.astype(jnp.float64)
-    Xh = X.astype(jnp.float32)
-    Xl = (X - Xh.astype(jnp.float64)).astype(jnp.float32)
-    wh = w.astype(jnp.float32)
-    wl = (w - wh.astype(jnp.float64)).astype(jnp.float32)
-    out = (_chunked_f32_dot(Xh, wh, chunk)
-           + _chunked_f32_dot(Xh, wl, chunk)
-           + _chunked_f32_dot(Xl, wh, chunk))
+    Xp = _split_or_pair(X, force_split)
+    if Xp is None and not isinstance(w, (tuple, list)):
+        return psum(_combine_pair(X) @ w, axis)
+    if Xp is None:  # CPU fast path with a pair w
+        return psum(_combine_pair(X) @ _combine_pair(w), axis)
+    Xh, Xl = Xp
+    if not isinstance(w, (tuple, list)) and w.dtype != jnp.float64:
+        wh, wl = w.astype(jnp.float32), None  # exact in f32 already
+    else:
+        wh, wl = _split_or_pair(w, force_split=True)
+    out = _chunked_f32_dot(Xh, wh, chunk) + _chunked_f32_dot(Xl, wh, chunk)
+    if wl is not None:
+        out = out + _chunked_f32_dot(Xh, wl, chunk)
     return psum(out, axis)
 
 
@@ -158,7 +185,7 @@ def dd_dot_rowsT(rows, h, force_split=False):
             + td(rl, hh).astype(jnp.float64))
 
 
-def dd_mul_small(X, M, force_split=False):
+def dd_mul_small(X, M, force_split=False, out_pair=False):
     """f64-quality X @ M for tall (n, p) x small (p, k) at f32 MXU rate.
 
     The contraction dim p is small (a block width, <= ~32), so a single
@@ -168,13 +195,20 @@ def dd_mul_small(X, M, force_split=False):
     emulated f64 — the caller inverts the small triangular factor once and
     applies it here as a GEMM). Falls back to the native f64 product on
     CPU; ``force_split=True`` tests the split algebra there.
+
+    X may be a pre-split (hi, lo) f32 pair. ``out_pair=True`` returns the
+    result as a compensated (hi, lo) f32 pair (2Sum of the three split
+    partials — pure f32, no emulated-f64 elementwise anywhere).
     """
-    if (jax.default_backend() == "cpu" and not force_split) \
-            or X.dtype != jnp.float64:
-        return X @ M
+    Xp = _split_or_pair(X, force_split)
+    if Xp is None:
+        out = _combine_pair(X) @ M
+        if out_pair:
+            oh = out.astype(jnp.float32)
+            return oh, (out - oh.astype(jnp.float64)).astype(jnp.float32)
+        return out
+    Xh, Xl = Xp
     M = M.astype(jnp.float64)
-    Xh = X.astype(jnp.float32)
-    Xl = (X - Xh.astype(jnp.float64)).astype(jnp.float32)
     Mh = M.astype(jnp.float32)
     Ml = (M - Mh.astype(jnp.float64)).astype(jnp.float32)
     pet = _product_dtype()
@@ -183,9 +217,27 @@ def dd_mul_small(X, M, force_split=False):
         return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
                                    preferred_element_type=pet)
 
-    return (d(Xh, Mh).astype(jnp.float64)
-            + d(Xh, Ml).astype(jnp.float64)
-            + d(Xl, Mh).astype(jnp.float64))
+    p1, p2, p3 = d(Xh, Mh), d(Xh, Ml), d(Xl, Mh)
+    if not out_pair:
+        return (p1.astype(jnp.float64) + p2.astype(jnp.float64)
+                + p3.astype(jnp.float64))
+    if pet == jnp.float64:
+        # CPU models the MXU with exact f64 partials; split the exact sum
+        # so the pair carries it to f32-pair precision (a plain f32 cast
+        # of p1 would silently discard its low bits — measured 5.4e-8
+        # end-to-end gradient drift vs the combined path).
+        total = p1 + p2 + p3
+        s = total.astype(jnp.float32)
+        e = (total - s.astype(jnp.float64)).astype(jnp.float32)
+        return s, e
+    # TPU: partials are already f32; compensated f32 sum (p2, p3 are
+    # ~eps32 of p1, so Fast2Sum's |t| <= |p1| precondition holds)
+    t = p2 + p3
+    s = p1 + t
+    e = (p1 - s) + t
+    return s, e
+
+
 
 
 def qr_tall(R, axis):

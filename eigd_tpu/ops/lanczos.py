@@ -438,11 +438,17 @@ def lanczos_solve(A, B, factor, sigma, N, m, mode="normal", seed=12345,
     )
 
 
-def b_qr_tall(X, B_mv, axis=None):
+def b_qr_tall(X, B_mv, axis=None, pair_out=False):
     """B-orthonormal thin QR of a (possibly DOF-sharded) (n, p) block via
     column-scaled CholeskyQR2 in the B inner product.
 
     Returns (Q, BQ, R) with Q^T B Q = I and X = Q R.
+
+    ``B_mv`` may return either an f64 array or a compensated (hi, lo) f32
+    pair (``GridStencilOperator.mv_pair``): the pair feeds the dd GEMMs
+    directly, skipping the emulated-f64 combine + re-split round trip
+    (the dominant cost of the dd stencil matvec at 1M DOF). With
+    ``pair_out=True`` the returned BQ is itself a (hi, lo) pair.
     """
     def one_pass(X, BX):
         G = dd_dot(X.T, BX, axis)
@@ -466,12 +472,15 @@ def b_qr_tall(X, B_mv, axis=None):
         Li = solve_triangular(L, jnp.eye(p, dtype=G.dtype), lower=True)
         Mcoef = (Li / cn[None, :]).T  # X @ Mcoef == (X / cn) @ Li^T
         Q = dd_mul_small(X, Mcoef)
-        BQ = dd_mul_small(BX, Mcoef)
+        BQ = dd_mul_small(BX, Mcoef,
+                          out_pair=isinstance(BX, (tuple, list)))
         return Q, BQ, L.T * cn[None, :]
 
     BX = B_mv(X)
     Q, BQ, R1 = one_pass(X, BX)
     Q, BQ, R2 = one_pass(Q, BQ)
+    if isinstance(BQ, (tuple, list)) and not pair_out:
+        BQ = BQ[0].astype(jnp.float64) + BQ[1].astype(jnp.float64)
     return Q, BQ, R2 @ R1
 
 
@@ -639,7 +648,8 @@ def _block_lanczos_setup(A, B, factor, sigma, N, m, p, mode="normal",
         def defl(Wb):
             return Wb
 
-    Q0, BQ0, _ = b_qr_tall(defl(v0), B.mv, axis=axis)
+    B_mv_qr = getattr(B, "mv_pair", B.mv) if axis is None else B.mv
+    Q0, BQ0, _ = b_qr_tall(defl(v0), B_mv_qr, axis=axis)
     V = jnp.zeros(((q + 1) * p, n), dtype=dtype).at[:p].set(Q0.T)
     BV = jnp.zeros(((q + 1) * p, n), dtype=dtype).at[:p].set(BQ0.T)
     # Measured projected operator, accumulated INCREMENTALLY: column block t
@@ -731,7 +741,7 @@ def _block_lanczos_setup(A, B, factor, sigma, N, m, p, mode="normal",
             w = w - dd_dot_rowsT(V, h2)
             h = h1 + h2
         w = defl(w)
-        Qb, BQb, Rb = b_qr_tall(w, B.mv, axis=axis)
+        Qb, BQb, Rb = b_qr_tall(w, B_mv_qr, axis=axis)
         V = jax.lax.dynamic_update_slice_in_dim(V, Qb.T, lo + p, axis=0)
         BV = jax.lax.dynamic_update_slice_in_dim(BV, BQb.T, lo + p, axis=0)
         if local:

@@ -31,14 +31,23 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _sync(out):
+    # block_until_ready is NOT a reliable barrier through the axon tunnel
+    # (measured: 32 dispatches of a 2 GB-read GEMM "block" in 3.9 ms); a
+    # host read of a derived scalar is. The executions queue in order, so
+    # syncing the last output drains the whole timed sequence.
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    float(jnp.sum(jnp.asarray(leaf)[..., :1].astype(jnp.float64)))
+
+
 def timeit(label, fn, *args, n=8):
     fn_j = jax.jit(fn)
     out = fn_j(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn_j(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     dt = (time.perf_counter() - t0) / n
     log(f"  {label}: {dt * 1e3:.2f} ms")
     return out, dt

@@ -59,6 +59,34 @@ def test_dd_mul_small_split_matches_f64(n, p, k):
     assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 1e-12
 
 
+def test_dd_dot_pair_operand_matches_f64():
+    # (hi, lo) pre-split second operand == splitting the combined f64
+    rng = np.random.default_rng(6)
+    X = jnp.asarray(rng.standard_normal((8, 4000)))
+    w = rng.standard_normal((4000, 8))
+    wh = w.astype(np.float32)
+    wl = (w - wh.astype(np.float64)).astype(np.float32)
+    ref = np.asarray(X) @ w
+    got = np.asarray(dd_dot(X, (jnp.asarray(wh), jnp.asarray(wl)),
+                            force_split=True))
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 1e-12
+
+
+def test_dd_mul_small_pair_roundtrip():
+    # pair in -> pair out stays f32-pair accurate vs the exact product
+    rng = np.random.default_rng(7)
+    X = rng.standard_normal((3000, 8))
+    Xh = X.astype(np.float32)
+    Xl = (X - Xh.astype(np.float64)).astype(np.float32)
+    M = jnp.asarray(rng.standard_normal((8, 8)))
+    ref = X @ np.asarray(M)
+    s, c = dd_mul_small((jnp.asarray(Xh), jnp.asarray(Xl)), M,
+                        force_split=True, out_pair=True)
+    got = np.asarray(s).astype(np.float64) + np.asarray(c).astype(
+        np.float64)
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 1e-12
+
+
 def test_dd_dot_split_under_jit():
     rng = np.random.default_rng(3)
     X = jnp.asarray(rng.standard_normal((6, 5000)))
