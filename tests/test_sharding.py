@@ -278,14 +278,17 @@ class TestGradientParityFast:
             adjoint_maxiter=25, ks_rho=160.0, load_frac=0.3)
         x0 = 0.6 * jnp.ones(fltr.num_design_vars) + 0.05 * jnp.sin(
             jnp.arange(fltr.num_design_vars, dtype=jnp.float64))
-        vag = jax.jit(jax.value_and_grad(obj_sh))
+        # NOTE: the buckling sharded objective caches jitted internals on
+        # first trace; reusing one jitted value_and_grad wrapper for the FD
+        # evals trips an UnexpectedTracerError, so this family keeps the
+        # original two-program pattern.
         with mesh:
-            v_sh, g_sh = vag(x0)
+            v_sh, g_sh = jax.value_and_grad(obj_sh)(x0)
         pert = jnp.asarray(np.random.default_rng(7).uniform(size=x0.shape))
         h = 1e-6
-        with mesh:  # FD through the SAME compiled program (no new compile)
-            vp, _ = vag(x0 + h * pert)
-            vm, _ = vag(x0 - h * pert)
+        with mesh:
+            vp = obj_sh(x0 + h * pert)
+            vm = obj_sh(x0 - h * pert)
         fd = (float(vp) - float(vm)) / (2 * h)
         ans = float(pert @ g_sh)
         assert abs(ans - fd) / abs(fd) < 1e-6, (ans, fd)
@@ -296,9 +299,11 @@ class TestGradientParityFast:
         obj_sh, crm_sh, mesh2, part = make_sharded_crm_objective(
             NDEV, nspan=6, nchord=3, nheight=1, N=2, m=32, mesh=mesh)
         t0 = jnp.asarray(crm_sh.x)
-        vag = jax.jit(jax.value_and_grad(obj_sh))
+        # (like the buckling family, this objective caches jitted internals
+        # on first trace — a reused jitted wrapper trips
+        # UnexpectedTracerError, so FD goes through the eager objective)
         with mesh:
-            v_sh, g_sh = vag(t0)
+            v_sh, g_sh = jax.value_and_grad(obj_sh)(t0)
 
         from eigd_tpu.models.crm import CRM
 
@@ -314,8 +319,8 @@ class TestGradientParityFast:
         pert = jnp.asarray(np.random.default_rng(7).uniform(size=t0.shape))
         h = 1e-6
         with mesh:
-            vp, _ = vag(t0 + h * pert)
-            vm, _ = vag(t0 - h * pert)
+            vp = obj_sh(t0 + h * pert)
+            vm = obj_sh(t0 - h * pert)
         fd = (float(vp) - float(vm)) / (2 * h)
         ans = float(pert @ g_sh)
         assert abs(ans - fd) / abs(fd) < 1e-5, (ans, fd)
