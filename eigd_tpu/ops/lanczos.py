@@ -458,29 +458,35 @@ def b_qr_tall(X, B_mv, axis=None, pair_out=False):
         eps = 1e-14
         p = G.shape[0]
         L = jnp.linalg.cholesky(Gs + eps * jnp.eye(p, dtype=G.dtype))
-        # Apply L^{-1} as a small GEMM instead of a triangular solve over
-        # the (p, n) right-hand sides: XLA:TPU's emulated-f64
-        # solve_triangular measured 16.8 ms per call at n=1e6 (4 calls per
-        # Lanczos step = the largest non-apply term of the 1M-DOF sweep),
-        # while inverting the p x p factor costs a p-wide solve and the
-        # application runs as a Dekker-split MXU GEMM (~0.5 ms). The p x p
-        # inverse of the CholQR factor of the SCALED Gram is well
-        # conditioned by construction (unit diagonal, second pass repairs
-        # first-pass orthogonality loss).
-        from jax.scipy.linalg import solve_triangular
-
-        Li = solve_triangular(L, jnp.eye(p, dtype=G.dtype), lower=True)
-        Mcoef = (Li / cn[None, :]).T  # X @ Mcoef == (X / cn) @ Li^T
-        Q = dd_mul_small(X, Mcoef)
-        BQ = dd_mul_small(BX, Mcoef,
-                          out_pair=isinstance(BX, (tuple, list)))
+        # Sequential triangular solves over the scaled (unit-column)
+        # right-hand sides. An r5 attempt replaced these with
+        # X @ (L^{-1}/cn)^T as a Dekker-split GEMM (the 4 emulated-f64
+        # solves are 16.8 ms each at n=1e6, the largest non-apply term of
+        # the 1M sweep) — measured numerically WRONG at 1M DOF: when late
+        # sweep steps produce near-degenerate block columns, the explicit
+        # inverse amplifies the split-GEMM floor by kappa(L) and the
+        # second CholQR pass renormalizes that noise into a
+        # basis-contaminating direction (1M gradient FD/jvp read 0.17/0.27
+        # vs the 8.8e-6 class; 263k, whose shorter sweep never saturates,
+        # verified clean at 4.4e-7). Forward substitution keeps every
+        # intermediate column unit-bounded, which the reassociated GEMM
+        # cannot replicate for ill-conditioned L.
+        Q = solve_triangular_cols(L, X / cn[None, :])
+        BQ = solve_triangular_cols(L, BX / cn[None, :])
         return Q, BQ, L.T * cn[None, :]
 
+    def solve_triangular_cols(L, X):
+        from jax.scipy.linalg import solve_triangular
+
+        return solve_triangular(L, X.T, lower=True).T
+
     BX = B_mv(X)
+    if isinstance(BX, (tuple, list)):
+        # (s, c) pair from mv_pair: the Gram GEMM consumed it pre-split in
+        # the GEMM variant; the triangular-solve form needs the f64 array
+        BX = BX[0].astype(jnp.float64) + BX[1].astype(jnp.float64)
     Q, BQ, R1 = one_pass(X, BX)
     Q, BQ, R2 = one_pass(Q, BQ)
-    if isinstance(BQ, (tuple, list)) and not pair_out:
-        BQ = BQ[0].astype(jnp.float64) + BQ[1].astype(jnp.float64)
     return Q, BQ, R2 @ R1
 
 
