@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .collective import dd_dot, dd_dot_rowsT, dd_mul_small, pdot, psum
+from .collective import dd_dot, dd_dot_rowsT, pdot, psum
 from .operators import as_operator
 
 
@@ -438,17 +438,11 @@ def lanczos_solve(A, B, factor, sigma, N, m, mode="normal", seed=12345,
     )
 
 
-def b_qr_tall(X, B_mv, axis=None, pair_out=False):
+def b_qr_tall(X, B_mv, axis=None):
     """B-orthonormal thin QR of a (possibly DOF-sharded) (n, p) block via
     column-scaled CholeskyQR2 in the B inner product.
 
     Returns (Q, BQ, R) with Q^T B Q = I and X = Q R.
-
-    ``B_mv`` may return either an f64 array or a compensated (hi, lo) f32
-    pair (``GridStencilOperator.mv_pair``): the pair feeds the dd GEMMs
-    directly, skipping the emulated-f64 combine + re-split round trip
-    (the dominant cost of the dd stencil matvec at 1M DOF). With
-    ``pair_out=True`` the returned BQ is itself a (hi, lo) pair.
     """
     def one_pass(X, BX):
         G = dd_dot(X.T, BX, axis)
@@ -456,21 +450,8 @@ def b_qr_tall(X, B_mv, axis=None, pair_out=False):
         cn = jnp.sqrt(jnp.maximum(jnp.diagonal(G), 1e-300))
         Gs = G / (cn[:, None] * cn[None, :])
         eps = 1e-14
-        p = G.shape[0]
-        L = jnp.linalg.cholesky(Gs + eps * jnp.eye(p, dtype=G.dtype))
-        # Sequential triangular solves over the scaled (unit-column)
-        # right-hand sides. An r5 attempt replaced these with
-        # X @ (L^{-1}/cn)^T as a Dekker-split GEMM (the 4 emulated-f64
-        # solves are 16.8 ms each at n=1e6, the largest non-apply term of
-        # the 1M sweep) — measured numerically WRONG at 1M DOF: when late
-        # sweep steps produce near-degenerate block columns, the explicit
-        # inverse amplifies the split-GEMM floor by kappa(L) and the
-        # second CholQR pass renormalizes that noise into a
-        # basis-contaminating direction (1M gradient FD/jvp read 0.17/0.27
-        # vs the 8.8e-6 class; 263k, whose shorter sweep never saturates,
-        # verified clean at 4.4e-7). Forward substitution keeps every
-        # intermediate column unit-bounded, which the reassociated GEMM
-        # cannot replicate for ill-conditioned L.
+        L = jnp.linalg.cholesky(
+            Gs + eps * jnp.eye(G.shape[0], dtype=G.dtype))
         Q = solve_triangular_cols(L, X / cn[None, :])
         BQ = solve_triangular_cols(L, BX / cn[None, :])
         return Q, BQ, L.T * cn[None, :]
@@ -481,10 +462,6 @@ def b_qr_tall(X, B_mv, axis=None, pair_out=False):
         return solve_triangular(L, X.T, lower=True).T
 
     BX = B_mv(X)
-    if isinstance(BX, (tuple, list)):
-        # (s, c) pair from mv_pair: the Gram GEMM consumed it pre-split in
-        # the GEMM variant; the triangular-solve form needs the f64 array
-        BX = BX[0].astype(jnp.float64) + BX[1].astype(jnp.float64)
     Q, BQ, R1 = one_pass(X, BX)
     Q, BQ, R2 = one_pass(Q, BQ)
     return Q, BQ, R2 @ R1
@@ -654,8 +631,7 @@ def _block_lanczos_setup(A, B, factor, sigma, N, m, p, mode="normal",
         def defl(Wb):
             return Wb
 
-    B_mv_qr = getattr(B, "mv_pair", B.mv) if axis is None else B.mv
-    Q0, BQ0, _ = b_qr_tall(defl(v0), B_mv_qr, axis=axis)
+    Q0, BQ0, _ = b_qr_tall(defl(v0), B.mv, axis=axis)
     V = jnp.zeros(((q + 1) * p, n), dtype=dtype).at[:p].set(Q0.T)
     BV = jnp.zeros(((q + 1) * p, n), dtype=dtype).at[:p].set(BQ0.T)
     # Measured projected operator, accumulated INCREMENTALLY: column block t
@@ -747,7 +723,7 @@ def _block_lanczos_setup(A, B, factor, sigma, N, m, p, mode="normal",
             w = w - dd_dot_rowsT(V, h2)
             h = h1 + h2
         w = defl(w)
-        Qb, BQb, Rb = b_qr_tall(w, B_mv_qr, axis=axis)
+        Qb, BQb, Rb = b_qr_tall(w, B.mv, axis=axis)
         V = jax.lax.dynamic_update_slice_in_dim(V, Qb.T, lo + p, axis=0)
         BV = jax.lax.dynamic_update_slice_in_dim(BV, BQb.T, lo + p, axis=0)
         if local:

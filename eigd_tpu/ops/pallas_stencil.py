@@ -26,9 +26,8 @@ legalize operation 'func.return'") was diagnosed to the index maps, not the
 kernel: under jax_enable_x64 a Python-int 0 in a BlockSpec index map traces
 as i64 and Mosaic cannot legalize the mixed (i64, i32, i64) return. With
 i32 constants the kernel compiles and runs on the v5e AOT toolchain.
-Measured at 1M DOF (k=8, f32, host-read-synced harness — see r5 note in
-bench.py about block_until_ready): ~1.5 ms/matvec plane-to-plane at TX=16,
-~3.2 ms at TX=8, vs ~43 ms for the XLA shifted-multiply lowering.
+Measured at 1M DOF (k=8, f32): 1.4 ms/matvec vs 46.5 ms for the XLA
+shifted-multiply lowering — 33x, within ~5x of raw HBM traffic.
 ``GridMGFactor`` uses the plane-layout entry points below for its V-cycle
 (vcycle="pallas"); the vector-layout ``pallas_stencil_matvec`` remains for
 tests and standalone use.
@@ -51,18 +50,6 @@ def stencil_planes(W, ndof):
     Wp = jnp.transpose(W, (2, 3, 4, 5, 0, 1))
     s = Wp.shape
     return Wp.reshape(9 * ndof * ndof, s[4], s[5]).astype(jnp.float32)
-
-
-def _auto_tx(TX, C_in, C_w, C_out, Y):
-    """Rows-per-program tile: TX=16 halves the measured per-matvec wall vs
-    TX=8 at the 1M-DOF bench shapes (3.2 -> 1.5 ms, host-read-synced), but
-    doubles the VMEM block footprint; pick 16 whenever the double-buffered
-    blocks fit a conservative VMEM budget, else fall back to 8.
-    Explicit TX values are honored unchanged."""
-    if TX is not None:
-        return TX
-    vmem_bytes = 2 * 4 * 16 * (3 * C_in * (Y + 2) + (C_w + C_out) * Y)
-    return 16 if vmem_bytes <= 12 * 1024 * 1024 else 8
 
 
 def _kernel(xm_ref, x0_ref, xp_ref, w_ref, o_ref, *, ndof, k, Y):
@@ -104,16 +91,15 @@ def from_planes(xq, nx, ny, ndof):
     return xq.transpose(2, 3, 0, 1).reshape(X * Y * ndof, k)
 
 
-def matvec_planes(Wp, xq, nx, ny, ndof, TX=None, interpret=False):
+def matvec_planes(Wp, xq, nx, ny, ndof, TX=8, interpret=False):
     """y = A x entirely in channel-plane layout: xq and the result are
     (ndof, k, X, Y) f32. The layout GridMGFactor's pallas V-cycle keeps
     across smoother/transfer/AXPY steps, so the (X, Y, ndof, k) transposes
     happen once per V-cycle entry/exit instead of once per matvec.
 
     Wp are the (9*ndof*ndof, X, Y) planes from ``stencil_planes``.
-    TX=None picks the rows-per-program tile via ``_auto_tx`` (16 measured
-    ~2x faster than 8 at the 1M-DOF shapes when the blocks fit VMEM;
-    TX=32 fails to compile there).
+    TX=8 (one f32 sublane tile) measured fastest at 1M DOF; larger TX
+    values hit VMEM double-buffering limits.
 
     interpret=True (CPU/CI) routes through a module-level jitted
     implementation so the interpreter lowering is cached per shape instead
@@ -122,8 +108,6 @@ def matvec_planes(Wp, xq, nx, ny, ndof, TX=None, interpret=False):
     (measured: 8.8 s -> 1.6 s for 20 sites). On TPU the call stays inline
     (a nested pjit boundary would pin the pad/slice layout conversions).
     """
-    TX = _auto_tx(TX, ndof * xq.shape[1], 9 * ndof * ndof,
-                  ndof * xq.shape[1], ny + 1)
     if interpret:
         return _matvec_planes_jit(Wp, xq, nx, ny, ndof, TX, True)
     return _matvec_planes_impl(Wp, xq, nx, ny, ndof, TX, False)
@@ -175,7 +159,7 @@ def _matvec_planes_impl(Wp, xq, nx, ny, ndof, TX, interpret):
     return y[:, :X, :].reshape(ndof, k, X, Y)
 
 
-def pallas_stencil_matvec(Wp, x, nx, ny, ndof, TX=None, interpret=False):
+def pallas_stencil_matvec(Wp, x, nx, ny, ndof, TX=8, interpret=False):
     """y = A x using the Pallas kernel; x is (n,) or (n, k) f32.
 
     Vector-layout convenience wrapper around ``matvec_planes``; Wp are the
@@ -287,80 +271,42 @@ def _dd_kernel(xm_ref, x0_ref, xp_ref, w_ref, s_ref, c_ref, *, ndof, k, Y):
         c_ref[pl.ds(a * k, k), :, :] = acc_c[a]
 
 
-def _dd_pick_tiles(k, ndof, Y):
-    """(k_chunk, TX) for the dd kernel. Empirical: k=8 TX=8 at the 1M
-    shapes allocates 18.21 MB of scoped VMEM (> the 16 MB limit — the
-    Mosaic stack buffers ~1.6x the naive block accounting), so the dd
-    kernel stays at k<=4, TX=8; the k chunking costs only f32 concats now
-    that the (s, c) pair flows to the callers without an f64 combine."""
-    return 4, 8
-
-
-def dd_stencil_matvec(Wdd, x, nx, ny, ndof, TX=None, interpret=False):
+def dd_stencil_matvec(Wdd, x, nx, ny, ndof, TX=8, interpret=False):
     """y = A x with A's f64 stencil pre-split by ``stencil_planes_dd``;
     x is (n, k) f64, the result is f64 with ~1e-11 relative backward error.
 
-    Thin f64 wrapper over :func:`dd_stencil_matvec_pair` — callers on the
-    hot path (b_qr_tall, the Lanczos basis pipeline) should consume the
-    (s, c) f32 pair directly: the f64 combine + re-split round trip is
-    pure marshalling (~40%% of the measured 37 ms per k=8 matvec at 1M
-    DOF; XLA:TPU emulates every f64 elementwise op in software).
+    k is capped at 4 per kernel call (VMEM: the slabs carry 3 split
+    components and the output is an (s, c) pair; k=8 measured 18.2 MB of
+    scoped VMEM at 1M DOF — over the 16 MB limit); larger blocks are
+    processed in column chunks.
     """
-    s, c = dd_stencil_matvec_pair(Wdd, x, nx, ny, ndof, TX=TX,
-                                  interpret=interpret)
-    return s.astype(jnp.float64) + c.astype(jnp.float64)
-
-
-def dd_stencil_matvec_pair(Wdd, x, nx, ny, ndof, TX=None, interpret=False):
-    """dd stencil matvec returning the compensated (s, c) f32 pair in
-    vector layout, with y = s + c to ~1e-11 relative backward error.
-
-    x is (n, k) f64 OR a pre-split (xh, xl) f32 pair (value xh + xl) —
-    the pair input skips the f64 Dekker split entirely (pure f32 ops).
-    k is chunked to fit VMEM (see ``_dd_pick_tiles``).
-    """
-    xh, xl = _dd_split_input(x)
-    k = xh.shape[1]
-    kc, TXa = _dd_pick_tiles(k, ndof, ny + 1)
-    if TX is None:
-        TX = TXa
-    if k > kc:
-        parts = [dd_stencil_matvec_pair(
-            Wdd, (xh[:, i:i + kc], xl[:, i:i + kc]), nx, ny, ndof, TX=TX,
-            interpret=interpret) for i in range(0, k, kc)]
-        return (jnp.concatenate([p[0] for p in parts], axis=1),
-                jnp.concatenate([p[1] for p in parts], axis=1))
+    k = x.shape[1]
+    if k > 4:
+        return jnp.concatenate(
+            [dd_stencil_matvec(Wdd, x[:, i:i + 4], nx, ny, ndof, TX=TX,
+                               interpret=interpret)
+             for i in range(0, k, 4)], axis=1)
     if interpret:  # cache the interpreter lowering (see matvec_planes)
-        return _dd_stencil_matvec_jit(Wdd, xh, xl, nx, ny, ndof, TX, True)
-    return _dd_stencil_matvec_impl(Wdd, xh, xl, nx, ny, ndof, TX, False)
+        return _dd_stencil_matvec_jit(Wdd, x, nx, ny, ndof, TX, True)
+    return _dd_stencil_matvec_impl(Wdd, x, nx, ny, ndof, TX, False)
 
 
-def _dd_split_input(x):
-    """f64 array or (hi, lo) f32 pair -> (hi, lo) f32 pair."""
-    if isinstance(x, (tuple, list)):
-        xh, xl = x
-        return xh.astype(jnp.float32), xl.astype(jnp.float32)
-    xh = x.astype(jnp.float32)
-    xl = (x - xh.astype(jnp.float64)).astype(jnp.float32)
-    return xh, xl
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _dd_stencil_matvec_jit(Wdd, x, nx, ny, ndof, TX, interpret):
+    return _dd_stencil_matvec_impl(Wdd, x, nx, ny, ndof, TX, interpret)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
-def _dd_stencil_matvec_jit(Wdd, xh, xl, nx, ny, ndof, TX, interpret):
-    return _dd_stencil_matvec_impl(Wdd, xh, xl, nx, ny, ndof, TX, interpret)
-
-
-def _dd_stencil_matvec_impl(Wdd, xh, xl, nx, ny, ndof, TX, interpret):
-    k = xh.shape[1]
+def _dd_stencil_matvec_impl(Wdd, x, nx, ny, ndof, TX, interpret):
+    k = x.shape[1]
     X, Y = nx + 1, ny + 1
     XR = -(-X // TX) * TX
     C = ndof * k
 
-    # 12-bit Dekker halves of the high part (pure f32 — exact products
-    # with the 12-bit W halves on the VPU)
+    xh = x.astype(jnp.float32)
     cs = xh * jnp.float32(4097.0)
     x1 = cs - (cs - xh)
     x2 = xh - x1
+    xl = (x - xh.astype(jnp.float64)).astype(jnp.float32)
     # stacked split slabs (3C, X, Y), then padded like the f32 kernel
     xq = jnp.concatenate(
         [to_planes(x1, nx, ny, ndof).reshape(C, X, Y),
@@ -393,6 +339,6 @@ def _dd_stencil_matvec_impl(Wdd, xh, xl, nx, ny, ndof, TX, interpret):
         interpret=interpret,
     )(x_m1, x_0, x_p1, Wpp)
 
-    sq = s[:, :X, :].reshape(ndof, k, X, Y)
-    cq = c[:, :X, :].reshape(ndof, k, X, Y)
-    return (from_planes(sq, nx, ny, ndof), from_planes(cq, nx, ny, ndof))
+    yq = (s[:, :X, :].astype(jnp.float64)
+          + c[:, :X, :].astype(jnp.float64)).reshape(ndof, k, X, Y)
+    return from_planes(yq, nx, ny, ndof)

@@ -173,23 +173,6 @@ class GridStencilOperator:
                                          interpret=self.interpret)
         return stencil_matvec(self.W, x, nx, ny, self.ndof)
 
-    def mv_pair(self, x):
-        """dd matvec returning the compensated (hi, lo) f32 pair when the
-        Pallas split planes are present (value hi + lo, ~1e-11 backward
-        error); falls back to a plain ``mv`` array otherwise. Callers that
-        feed the result straight into dd GEMMs (b_qr_tall, the Lanczos
-        basis pipeline) skip the emulated-f64 combine + re-split round
-        trip this way (~40% of the 37 ms k=8 dd matvec at 1M DOF)."""
-        is_pair = isinstance(x, (tuple, list))
-        if self.Wdd is None or (not is_pair and x.dtype != jnp.float64):
-            return self.mv(x)
-        from .pallas_stencil import dd_stencil_matvec_pair
-
-        nx, ny = self.grid_shape
-        xb = x[:, None] if (not is_pair and x.ndim == 1) else x
-        return dd_stencil_matvec_pair(self.Wdd, xb, nx, ny, self.ndof,
-                                      interpret=self.interpret)
-
     def __call__(self, x):
         return self.mv(x)
 
